@@ -1,0 +1,318 @@
+"""The LS-SVM estimator: learn / predict / accuracy / write_model.
+
+TPU-native equivalent of the algorithm core ``plssvm::csvm<T>``
+(``include/plssvm/csvm.hpp:34-278``, ``src/plssvm/csvm.cpp:40-411``) merged
+with the device orchestration of ``plssvm::detail::gpu_csvm``
+(``src/plssvm/backends/gpu_csvm.cpp:47-412``).  Where the reference splits
+``learn()`` into five virtual device hooks (``setup_data_on_device``,
+``generate_q``, ``solver_CG``, ``update_w``, ``predict``) so each backend can
+re-implement them, here the entire learn step is **one traced XLA program**:
+q-vector, QA_cost, operator construction and the full CG loop compile into a
+single ``jit`` with no host round-trips (the reference crosses the host
+boundary every iteration for its ``device_reduction``,
+``gpu_csvm.cpp:366-386``).
+
+Padding: the CG system of size ``dept = n - 1`` is zero-padded to a multiple
+of the row block so every MXU tile is full — the analog of the reference's
+``boundary_size_ = 96`` padding (``gpu_csvm.cpp:130-157``), 128-lane aligned.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PAD_SIZE, ROW_BLOCK_SIZE
+from ..exceptions import PLSSVMError
+from ..io.model import write_model_file
+from ..ops.kernel_functions import gram_block, kernel_scalar
+from ..ops.matvec import build_operator, choose_mode
+from ..params import Parameter
+from ..solver.cg import cg_solve
+from ..types import BackendType, KernelType
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
+               *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+    """One traced program: q-vector + QA_cost + operator + full CG solve."""
+    dtype = X_pad.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+
+    # q_i = k(x_i, x_last)  (q_kernel.cu:16-49); padding rows masked out
+    q = gram_block(kernel, X_pad, x_last[None, :], degree, gamma, coef0)[:, 0] * mask
+    # QA_cost = k(x_last, x_last) + 1/C  (csvm.cpp:243)
+    QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
+
+    op = build_operator(
+        kernel, X_pad, q, mask, QA_cost, cost_inv,
+        degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
+    )
+    res = cg_solve(op.matvec, b_pad, mask, eps, imax)
+
+    s = jnp.sum(res.x)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype)
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def _predict_jit(P, X_sv, alphas, bias, gamma, coef0, *, kernel: KernelType, degree: int):
+    """f(p) = sum_i alpha_i k(x_i, p) + bias (``OpenMP/csvm.cpp:223-236``)."""
+    K = gram_block(kernel, P, X_sv, degree, gamma, coef0)
+    return jnp.dot(K, alphas, preferred_element_type=P.dtype) + bias
+
+
+@jax.jit
+def _w_jit(X_all, alphas):
+    """w = sum_i alpha_i x_i — linear predict fast path
+    (``predict_kernel.cu:16-27``, ``gpu_csvm.cpp:327-350``)."""
+    return jnp.dot(X_all.T, alphas, preferred_element_type=X_all.dtype)
+
+
+class CSVM:
+    """Least-Squares SVM solved with Conjugate Gradients on TPU.
+
+    Mirrors the public API of ``plssvm::csvm<T>`` (``csvm.hpp:106-179``):
+    ``learn``, ``predict``, ``predict_label``, ``accuracy``, ``write_model``.
+    """
+
+    def __init__(self, params: Parameter) -> None:
+        # ctor validation (csvm.cpp:41-57)
+        if params.data is None:
+            raise PLSSVMError("No data points provided!")
+        if params.data.num_points == 0:
+            raise PLSSVMError("Data set is empty!")
+        if params.data.num_features == 0:
+            raise PLSSVMError("No features provided for the data points!")
+        if params.alphas is not None and len(params.alphas) != params.data.num_points:
+            raise PLSSVMError(
+                f"Number of weights ({len(params.alphas)}) must match the number of "
+                f"data points ({params.data.num_points})!"
+            )
+
+        self.params = params
+        self.kernel = params.kernel
+        self.degree = int(params.degree)
+        self.gamma = float(params.gamma)
+        self.coef0 = float(params.coef0)
+        self.cost = float(params.cost)
+        self.epsilon = float(params.epsilon)
+        self.print_info = bool(params.print_info)
+        self.dtype = jnp.dtype(params.dtype)
+        self.backend = self._resolve_backend(params.backend)
+
+        self.data = params.data  # ParsedData (dense + CSR)
+        self.values = params.values  # labels (+1/-1) or None
+        self.alphas = None if params.alphas is None else np.asarray(params.alphas, np.float64)
+        self.bias_ = -float(params.rho)  # csvm.cpp:42
+        self.QA_cost_ = 0.0
+        self.w_: np.ndarray | None = None
+        self.last_cg_info: dict = {}
+
+        self.num_data_points = self.data.num_points
+        self.num_features = self.data.num_features
+
+        # cached device copy of the full data matrix (predict / w path)
+        self._X_all_dev = None
+
+    @staticmethod
+    def _resolve_backend(backend: BackendType) -> BackendType:
+        if backend != BackendType.automatic:
+            return backend
+        platform = jax.default_backend()
+        return BackendType.pallas if platform == "tpu" else BackendType.xla
+
+    # ------------------------------------------------------------------ learn
+
+    def learn(self) -> None:
+        """Train: assemble the reduced system and solve with CG
+        (``csvm.cpp:207-267``)."""
+        if self.values is None:
+            raise PLSSVMError(
+                "No labels given for training! Maybe the data is only usable for prediction?"
+            )
+        if self.num_data_points != len(self.values):
+            raise PLSSVMError(
+                f"Number of labels ({len(self.values)}) must match the number of "
+                f"data points ({self.num_data_points})!"
+            )
+
+        X = self.data.dense
+        y = np.asarray(self.values, np.float64)
+        n, f = X.shape
+        dept = n - 1
+
+        if dept == 0:
+            # degenerate single-point system: alpha = [0], bias = y[0]
+            self.alphas = np.zeros(1)
+            self.bias_ = float(y[0])
+            self.w_ = None
+            return
+
+        start = time.perf_counter()
+        block = max(PAD_SIZE, ROW_BLOCK_SIZE)
+        D = _round_up(dept, block)
+
+        X_pad = np.zeros((D, f), dtype=self.dtype)
+        X_pad[:dept] = X[:dept]
+        x_last = X[-1].astype(self.dtype)
+        b_pad = np.zeros(D, dtype=self.dtype)
+        b_pad[:dept] = y[:dept] - y[-1]  # b = y[:-1] - y[-1] (csvm.cpp:236-240)
+        mask = np.zeros(D, dtype=self.dtype)
+        mask[:dept] = 1.0
+
+        mode = choose_mode(self.kernel, dept, self.dtype)
+        imax = self.params.max_iter if self.params.max_iter is not None else f
+
+        x, s, t, QA_cost, iters, delta, delta0 = _learn_jit(
+            jnp.asarray(X_pad), jnp.asarray(x_last), jnp.asarray(b_pad), jnp.asarray(mask),
+            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
+            jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
+            jnp.asarray(imax, jnp.int32),
+            kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
+        )
+        x = np.asarray(x, np.float64)[:dept]
+        s_np = float(s)
+        self.QA_cost_ = float(QA_cost)
+
+        # bias = y_last + QA_cost * sum(x) - q.x ; alpha_last = -sum(x)
+        # (csvm.cpp:257-258)
+        self.bias_ = float(y[-1]) + self.QA_cost_ * s_np - float(t)
+        self.alphas = np.concatenate([x, [-s_np]])
+        self.w_ = None
+        self.last_cg_info = {
+            "iterations": int(iters),
+            "delta": float(delta),
+            "delta0": float(delta0),
+            "mode": mode,
+            "dept": dept,
+            "padded": D,
+        }
+
+        if self.print_info:
+            elapsed = (time.perf_counter() - start) * 1000.0
+            print(
+                f"Finished after {int(iters)} iterations with a residuum of "
+                f"{float(delta)} (target: {self.epsilon**2 * float(delta0)})."
+            )
+            print(f"Solved minimization problem (r = b - Ax) using CG in {elapsed:.0f}ms.")
+
+    # ---------------------------------------------------------------- predict
+
+    def _X_all_device(self):
+        if self._X_all_dev is None:
+            self._X_all_dev = jnp.asarray(self.data.dense.astype(self.dtype))
+        return self._X_all_dev
+
+    def _check_points(self, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points, np.float64)
+        if points.ndim == 1:
+            points = points[None, :]
+        if points.shape[1] != self.num_features:
+            raise PLSSVMError(
+                f"Number of features per data point ({self.num_features}) must match "
+                f"the number of features per predict point ({points.shape[1]})!"
+            )
+        return points
+
+    def predict(self, points) -> np.ndarray:
+        """Raw decision values (``gpu_csvm.cpp:52-127``)."""
+        points = np.asarray(points, np.float64)
+        single = points.ndim == 1
+        if points.size == 0 and not single:
+            return np.zeros(0)
+        points = self._check_points(points)
+        if self.alphas is None:
+            raise PLSSVMError("No alphas provided for prediction!")
+
+        alphas_dev = jnp.asarray(self.alphas.astype(self.dtype))
+        if self.kernel == KernelType.linear:
+            # w fast path (gpu_csvm.cpp:83-91)
+            if self.w_ is None:
+                self.w_ = np.asarray(_w_jit(self._X_all_device(), alphas_dev), np.float64)
+            out = points @ self.w_ + self.bias_
+        else:
+            out = np.asarray(
+                _predict_jit(
+                    jnp.asarray(points.astype(self.dtype)), self._X_all_device(),
+                    alphas_dev, jnp.asarray(self.bias_, self.dtype),
+                    jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
+                    kernel=self.kernel, degree=self.degree,
+                ),
+                np.float64,
+            )
+        return out[0] if single else out
+
+    def predict_label(self, points) -> np.ndarray:
+        """sign(predict) (``csvm.cpp:343-366``; sign(0) = -1,
+        ``operators.hpp:174-177``)."""
+        values = self.predict(points)
+        return np.where(np.asarray(values) > 0.0, 1.0, -1.0)
+
+    # --------------------------------------------------------------- accuracy
+
+    def accuracy(self, points=None, labels=None) -> float:
+        """Fraction of sign-correct predictions (``csvm.cpp:270-318``)."""
+        if points is None:
+            if self.values is None:
+                raise PLSSVMError(
+                    "No labels given! Maybe the data is only usable for prediction?"
+                )
+            points, labels = self.data.dense, self.values
+        points = np.asarray(points, np.float64)
+        labels = np.atleast_1d(np.asarray(labels, np.float64))
+        if points.ndim == 1:
+            points = points[None, :]
+        if len(points) != len(labels):
+            raise PLSSVMError(
+                f"Number of data points ({len(points)}) must match number of "
+                f"correct labels ({len(labels)})!"
+            )
+        if len(points) == 0:
+            return 0.0
+        predictions = self.predict(points)
+        correct = int(np.sum(predictions * labels > 0.0))
+        return correct / len(points)
+
+    # ------------------------------------------------------------ write_model
+
+    def write_model(self, model_name: str) -> None:
+        """Write the LIBSVM model checkpoint (``csvm.cpp:60-204``)."""
+        if self.alphas is None:
+            raise PLSSVMError("No alphas given! Maybe a call to 'learn()' is missing?")
+        if self.values is None:
+            raise PLSSVMError("No labels given! Maybe the data is only usable for prediction?")
+        if self.num_data_points != len(self.values):
+            raise PLSSVMError(
+                f"Number of labels ({len(self.values)}) must match the number of "
+                f"data points ({self.num_data_points})!"
+            )
+
+        start = time.perf_counter()
+        header = write_model_file(
+            model_name,
+            kernel=self.kernel,
+            rho=-self.bias_,
+            data=self.data.dense,
+            labels=self.values,
+            alphas=self.alphas,
+            degree=self.degree,
+            gamma=self.gamma,
+            coef0=self.coef0,
+        )
+        if self.print_info:
+            print(f"\nOptimization finished\n{header}")
+            n_sv = int(np.sum(self.values > 0)) + int(np.sum(self.values < 0))
+            elapsed = (time.perf_counter() - start) * 1000.0
+            print(
+                f"Wrote model file ('{model_name}') with {n_sv} support vectors "
+                f"in {elapsed:.0f}ms."
+            )
