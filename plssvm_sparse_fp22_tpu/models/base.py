@@ -106,7 +106,7 @@ class CSVM:
         self.cost = float(params.cost)
         self.epsilon = float(params.epsilon)
         self.print_info = bool(params.print_info)
-        self.dtype = jnp.dtype(params.dtype)
+        self.dtype = self._resolve_dtype(params.dtype)
         self.backend = self._resolve_backend(params.backend)
 
         self.data = params.data  # ParsedData (dense + CSR)
@@ -122,6 +122,16 @@ class CSVM:
 
         # cached device copy of the full data matrix (predict / w path)
         self._X_all_dev = None
+
+    def _resolve_dtype(self, dtype):
+        """float64 needs JAX x64 mode; without it, solve in float32 (the
+        TPU-native precision) instead of letting jnp truncate noisily."""
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.dtype(np.float64) and not jax.config.jax_enable_x64:
+            if self.print_info:
+                print("float64 requested but JAX x64 mode is disabled; solving in float32.")
+            return jnp.dtype(np.float32)
+        return dtype
 
     @staticmethod
     def _resolve_backend(backend: BackendType) -> BackendType:

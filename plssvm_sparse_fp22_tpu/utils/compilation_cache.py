@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache.
+
+TPU-native equivalent of the reference's SHA-256-keyed on-disk OpenCL binary
+cache (``src/plssvm/backends/OpenCL/detail/utility.cpp:233-355``, cache dir
+``$TMP/plssvm_opencl_cache/<target>_<checksum>/``): first compilation of a
+(shape, kernel, mode) learn program is expensive — especially with remote
+TPU compilation — so compiled executables are cached on disk keyed by the
+program fingerprint, making every subsequent process start warm.
+
+Enabled automatically on import of the package CLI/bench entry points;
+opt out with ``PLSSVM_NO_COMPILATION_CACHE=1`` or choose the directory with
+``PLSSVM_COMPILATION_CACHE_DIR``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "plssvm_tpu_xla_cache"
+)
+
+
+def enable_compilation_cache() -> str | None:
+    """Turn on JAX's persistent compilation cache; returns the dir or None."""
+    if os.environ.get("PLSSVM_NO_COMPILATION_CACHE") == "1":
+        return None
+    import jax
+
+    cache_dir = os.environ.get("PLSSVM_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program regardless of its compile time / size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        return None
+    return cache_dir
