@@ -1,0 +1,203 @@
+"""Multi-chip LS-SVM training: row-sharded implicit matvec + collective CG.
+
+TPU-native replacement for the reference's multi-GPU scheme.  The reference
+splits the *feature* axis across devices for the linear kernel only
+(``gpu_csvm.cpp:130-157``), pins polynomial/RBF to one GPU
+(``CUDA/csvm.cu:61-63``), and combines partial results with a host-staged
+all-reduce (``device_reduction``, ``gpu_csvm.cpp:366-386``: sync, D2H copy,
+host add, H2D broadcast — every CG iteration).  Here the *row* axis is
+sharded over a 1-D ``jax.sharding.Mesh`` and every exchange is an XLA
+collective over ICI/DCN inside one compiled program:
+
+- **linear**    — ``K v = X (X^T v)``: each chip computes the partial
+  feature-space product ``X_loc^T v_loc`` and one ``psum`` (2f floats)
+  replicates it; the row product stays local.  Communication volume per CG
+  iteration is O(f), independent of n.
+- **cached**    — K is row-sharded (each chip holds a (D/p, D) slab);
+  ``all_gather`` of v (D floats) then a local GEMV.
+- **implicit (ring)** — the flagship HBM-scaling path: each chip holds only
+  its (D/p, f) row block.  The Gram matvec walks the ring with
+  ``lax.ppermute``: at step s the chip multiplies its rows against the block
+  it just received, accumulates ``f(X_loc X_recv^T) v_recv``, and forwards
+  the block.  Peak memory is 2 row blocks per chip; comms overlap the MXU
+  work.  This is the blockwise/ring long-context pattern applied to a Gram
+  operator (SURVEY.md §5) and removes the reference's "device 0 owns the
+  rank-1 correction" trick (``svm_kernel.cu:67-71``) — corrections are
+  algebraically hoisted out, as in the single-chip path.
+
+CG dot products are ``psum`` of local partials — a fixed, deterministic
+reduction order (the float-reproducibility hard part (a) of SURVEY.md §7;
+the reference has to *emulate* its blocked summation order in tests,
+``tests/backends/compare.cpp:34-48``).
+
+Multi-host: the same code runs over a DCN-connected mesh after
+``jax.distributed.initialize`` — ``shard_map`` doesn't care which links
+carry the collective.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import RESIDUAL_REFRESH_INTERVAL
+from ..ops.kernel_functions import gram_block, kernel_scalar
+from ..types import KernelType
+from .mesh import DATA_AXIS
+
+
+def _psum_dot(a, b):
+    """Deterministic distributed dot: local partial + psum."""
+    return lax.psum(jnp.dot(a, b, preferred_element_type=a.dtype), DATA_AXIS)
+
+
+def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
+                        degree, gamma, coef0, mode, K_loc=None):
+    """Per-shard A@v: v_loc (D/p,) -> (A v)_loc (D/p,), collectives inside."""
+    dtype = X_loc.dtype
+    num = lax.axis_size(DATA_AXIS)
+
+    def corrections(Kv_loc, v_loc):
+        # rank-1 + diagonal corrections need only two psummed scalars
+        s = lax.psum(jnp.sum(v_loc), DATA_AXIS)
+        t = _psum_dot(q_loc, v_loc)
+        return (
+            mask_loc * Kv_loc
+            + (QA_cost * s - t) * mask_loc
+            - s * q_loc
+            + cost_inv * v_loc
+        )
+
+    if mode == "linear":
+
+        def matvec(v_loc):
+            u = lax.psum(jnp.dot(X_loc.T, v_loc, preferred_element_type=dtype), DATA_AXIS)
+            Kv_loc = jnp.dot(X_loc, u, preferred_element_type=dtype)
+            return corrections(Kv_loc, v_loc)
+
+    elif mode == "cached":
+
+        def matvec(v_loc):
+            v_full = lax.all_gather(v_loc, DATA_AXIS, tiled=True)
+            Kv_loc = jnp.dot(K_loc, v_full, preferred_element_type=dtype)
+            return corrections(Kv_loc, v_loc)
+
+    elif mode == "implicit":
+        sq_loc = jnp.sum(X_loc * X_loc, axis=1)
+        my_idx = lax.axis_index(DATA_AXIS)
+        right = [(i, (i + 1) % num) for i in range(num)]
+
+        def matvec(v_loc):
+            def step(carry, _):
+                X_buf, sq_buf, v_buf, acc = carry
+                Kblk = gram_block(
+                    kernel, X_loc, X_buf, degree, gamma, coef0,
+                    Xi_sqnorm=sq_loc, Xj_sqnorm=sq_buf,
+                )
+                acc = acc + jnp.dot(Kblk, v_buf, preferred_element_type=dtype)
+                X_buf = lax.ppermute(X_buf, DATA_AXIS, right)
+                sq_buf = lax.ppermute(sq_buf, DATA_AXIS, right)
+                v_buf = lax.ppermute(v_buf, DATA_AXIS, right)
+                return (X_buf, sq_buf, v_buf, acc), None
+
+            init = (X_loc, sq_loc, v_loc, jnp.zeros_like(v_loc))
+            (X_b, sq_b, v_b, Kv_loc), _ = lax.scan(step, init, None, length=num)
+            return corrections(Kv_loc, v_loc)
+
+    else:
+        raise ValueError(f"unknown sharded matvec mode '{mode}'")
+
+    return matvec
+
+
+def _cg_sharded(matvec, b_loc, mask_loc, eps, imax):
+    """CG on row-sharded vectors; same semantics as solver.cg.cg_solve
+    (``gpu_csvm.cpp:186-324``) with psummed scalars."""
+    dtype = b_loc.dtype
+    x0 = mask_loc.astype(dtype)
+    r0 = b_loc - matvec(x0)
+    delta0 = _psum_dot(r0, r0)
+    target = jnp.asarray(eps, dtype) ** 2 * delta0
+    imax = jnp.asarray(imax, jnp.int32)
+
+    def cond(state):
+        k, _x, _r, _d, delta = state
+        return jnp.logical_and(k < imax, delta > target)
+
+    def body(state):
+        k, x, r, d, delta = state
+        Ad = matvec(d)
+        alpha = delta / _psum_dot(d, Ad)
+        x = x + alpha * d
+        r_new = lax.cond(
+            k % RESIDUAL_REFRESH_INTERVAL == RESIDUAL_REFRESH_INTERVAL - 1,
+            lambda _: b_loc - matvec(x),
+            lambda _: r - alpha * Ad,
+            None,
+        )
+        delta_new = _psum_dot(r_new, r_new)
+        beta = delta_new / delta
+        return (k + 1, x, r_new, beta * d + r_new, delta_new)
+
+    k, x, _r, _d, delta = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, delta0))
+    return x, k, delta, delta0
+
+
+def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str):
+    """Build the jitted multi-chip learn step for a given mesh/config.
+
+    Returns ``fn(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax)
+    -> (x, s, t, QA_cost, iterations, delta, delta0)`` where the (D, f) data
+    and (D,) vectors are sharded over the mesh's data axis.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+    )
+    def run(X_loc, x_last, b_loc, mask_loc, gamma, coef0, cost, eps, imax):
+        dtype = X_loc.dtype
+        cost_inv = jnp.asarray(1.0, dtype) / cost
+        # q_i = k(x_i, x_last): purely local (x_last replicated)
+        q_loc = gram_block(kernel, X_loc, x_last[None, :], degree, gamma, coef0)[:, 0]
+        q_loc = q_loc * mask_loc
+        QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
+
+        K_loc = None
+        if mode == "cached":
+            # row slab of K against the full (all-gathered) data
+            X_full = lax.all_gather(X_loc, DATA_AXIS, tiled=True)
+            mask_full = lax.all_gather(mask_loc, DATA_AXIS, tiled=True)
+            K_loc = gram_block(kernel, X_loc, X_full, degree, gamma, coef0)
+            K_loc = K_loc * (mask_loc[:, None] * mask_full[None, :])
+
+        matvec = _build_local_matvec(
+            kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
+            degree, gamma, coef0, mode, K_loc=K_loc,
+        )
+        x_loc, iters, delta, delta0 = _cg_sharded(matvec, b_loc, mask_loc, eps, imax)
+
+        s = lax.psum(jnp.sum(x_loc), DATA_AXIS)
+        t = _psum_dot(q_loc, x_loc)
+        return x_loc, s, t, QA_cost, iters, delta, delta0
+
+    return jax.jit(run)
+
+
+def shard_system(mesh: Mesh, X_pad, b_pad, mask):
+    """Place the padded system on the mesh (rows sharded)."""
+    row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    mat_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    return (
+        jax.device_put(X_pad, mat_sharding),
+        jax.device_put(b_pad, row_sharding),
+        jax.device_put(mask, row_sharding),
+    )

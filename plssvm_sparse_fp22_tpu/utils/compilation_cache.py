@@ -22,12 +22,22 @@ _DEFAULT_DIR = os.path.join(
 
 
 def enable_compilation_cache() -> str | None:
-    """Turn on JAX's persistent compilation cache; returns the dir or None."""
+    """Turn on JAX's persistent compilation cache; returns the dir or None.
+
+    Scoped per backend platform: CPU executables are AOT-compiled for the
+    *compiling* host's ISA, so sharing a cache between the remote-compile
+    TPU path and the local CPU risks loading incompatible code (SIGILL).
+    The cache is only enabled for non-CPU backends.
+    """
     if os.environ.get("PLSSVM_NO_COMPILATION_CACHE") == "1":
         return None
     import jax
 
+    platform = jax.default_backend()
+    if platform == "cpu":
+        return None
     cache_dir = os.environ.get("PLSSVM_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
