@@ -198,8 +198,18 @@ def write_model_file(
     header field order, ``fmt::format("{}")`` float formatting for alphas/rho
     and ``{:e}`` for feature values, zero features skipped, one trailing
     space per line, positives before negatives.
+
+    ``data`` may be a scipy sparse matrix (CSR path: support vectors are
+    written row-by-row without densification — the LIBSVM SV format is
+    naturally sparse).
     """
-    data = np.asarray(data)
+    import scipy.sparse as _sp
+
+    sparse_data = _sp.issparse(data)
+    if sparse_data:
+        data = data.tocsr()
+    else:
+        data = np.asarray(data)
     labels = np.asarray(labels)
     alphas = np.asarray(alphas)
 
@@ -226,12 +236,20 @@ def write_model_file(
         f.write(header)
         for mask in (pos_mask, neg_mask):
             for i in np.flatnonzero(mask):
-                row = data[i]
                 # reference emits "{alpha} " then "{j}:{v:e} " per nonzero
                 # feature (csvm.cpp:144-154)
-                features = "".join(
-                    f"{j}:{fmt_scientific(float(row[j]))} " for j in np.flatnonzero(row != 0.0)
-                )
+                if sparse_data:
+                    start, end = data.indptr[i], data.indptr[i + 1]
+                    pairs = zip(data.indices[start:end], data.data[start:end])
+                    features = "".join(
+                        f"{j}:{fmt_scientific(float(v))} " for j, v in pairs if v != 0.0
+                    )
+                else:
+                    row = data[i]
+                    features = "".join(
+                        f"{j}:{fmt_scientific(float(row[j]))} "
+                        for j in np.flatnonzero(row != 0.0)
+                    )
                 f.write(f"{fmt_shortest(float(alphas[i]))} {features}\n")
     return header
 

@@ -29,7 +29,7 @@ import numpy as np
 from ..constants import PAD_SIZE, ROW_BLOCK_SIZE
 from ..exceptions import PLSSVMError
 from ..io.model import write_model_file
-from ..ops.kernel_functions import gram_block, kernel_scalar
+from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
 from ..ops.matvec import build_operator, choose_mode
 from ..params import Parameter
 from ..solver.cg import cg_solve
@@ -59,7 +59,7 @@ def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
     res = cg_solve(op.matvec, b_pad, mask, eps, imax)
 
     s = jnp.sum(res.x)
-    t = jnp.dot(q, res.x, preferred_element_type=dtype)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
 
@@ -67,14 +67,14 @@ def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
 def _predict_jit(P, X_sv, alphas, bias, gamma, coef0, *, kernel: KernelType, degree: int):
     """f(p) = sum_i alpha_i k(x_i, p) + bias (``OpenMP/csvm.cpp:223-236``)."""
     K = gram_block(kernel, P, X_sv, degree, gamma, coef0)
-    return jnp.dot(K, alphas, preferred_element_type=P.dtype) + bias
+    return jnp.dot(K, alphas, preferred_element_type=P.dtype, precision=PRECISION) + bias
 
 
 @jax.jit
 def _w_jit(X_all, alphas):
     """w = sum_i alpha_i x_i — linear predict fast path
     (``predict_kernel.cu:16-27``, ``gpu_csvm.cpp:327-350``)."""
-    return jnp.dot(X_all.T, alphas, preferred_element_type=X_all.dtype)
+    return jnp.dot(X_all.T, alphas, preferred_element_type=X_all.dtype, precision=PRECISION)
 
 
 class CSVM:
@@ -155,9 +155,8 @@ class CSVM:
                 f"data points ({self.num_data_points})!"
             )
 
-        X = self.data.dense
         y = np.asarray(self.values, np.float64)
-        n, f = X.shape
+        n, f = self.data.csr.shape
         dept = n - 1
 
         if dept == 0:
@@ -171,24 +170,17 @@ class CSVM:
         block = max(PAD_SIZE, ROW_BLOCK_SIZE)
         D = _round_up(dept, block)
 
-        X_pad = np.zeros((D, f), dtype=self.dtype)
-        X_pad[:dept] = X[:dept]
-        x_last = X[-1].astype(self.dtype)
         b_pad = np.zeros(D, dtype=self.dtype)
         b_pad[:dept] = y[:dept] - y[-1]  # b = y[:-1] - y[-1] (csvm.cpp:236-240)
         mask = np.zeros(D, dtype=self.dtype)
         mask[:dept] = 1.0
-
-        mode = choose_mode(self.kernel, dept, self.dtype)
         imax = self.params.max_iter if self.params.max_iter is not None else f
 
-        x, s, t, QA_cost, iters, delta, delta0 = _learn_jit(
-            jnp.asarray(X_pad), jnp.asarray(x_last), jnp.asarray(b_pad), jnp.asarray(mask),
-            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
-            jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
-            jnp.asarray(imax, jnp.int32),
-            kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
-        )
+        if self._use_sparse():
+            mode, out = self._learn_sparse(D, dept, f, b_pad, mask, imax)
+        else:
+            mode, out = self._learn_dense(D, dept, f, b_pad, mask, imax)
+        x, s, t, QA_cost, iters, delta, delta0 = out
         x = np.asarray(x, np.float64)[:dept]
         s_np = float(s)
         self.QA_cost_ = float(QA_cost)
@@ -214,6 +206,64 @@ class CSVM:
                 f"{float(delta)} (target: {self.epsilon**2 * float(delta0)})."
             )
             print(f"Solved minimization problem (r = b - Ax) using CG in {elapsed:.0f}ms.")
+
+    # ------------------------------------------------------- learn strategies
+
+    def _use_sparse(self) -> bool:
+        """Keep the CSR representation when the data is sparse enough
+        (capability extension over the always-densifying reference,
+        ``parameter.hpp:51-75``)."""
+        return self.data.density <= float(self.params.sparse_threshold)
+
+    def _learn_dense(self, D, dept, f, b_pad, mask, imax):
+        X = self.data.dense
+        X_pad = np.zeros((D, f), dtype=self.dtype)
+        X_pad[:dept] = X[:dept]
+        x_last = X[-1].astype(self.dtype)
+        mode = choose_mode(self.kernel, dept, self.dtype)
+        out = _learn_jit(
+            jnp.asarray(X_pad), jnp.asarray(x_last), jnp.asarray(b_pad), jnp.asarray(mask),
+            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
+            jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
+            jnp.asarray(imax, jnp.int32),
+            kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
+        )
+        return mode, out
+
+    def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
+        from ..ops.sparse import ELLMatrix, host_gram_from_csr
+        from .sparse_learn import learn_from_gram_jit, learn_sparse_linear_jit
+
+        csr = self.data.csr
+        common = (
+            jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
+            jnp.asarray(imax, jnp.int32),
+        )
+        if self.kernel == KernelType.linear:
+            ell = ELLMatrix.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+            out = learn_sparse_linear_jit(
+                ell.values, ell.cols, jnp.asarray(x_last),
+                jnp.asarray(b_pad), jnp.asarray(mask), *common, f=f,
+            )
+            return "sparse_linear", out
+
+        # poly/rbf: host-assembled Gram (X never densified), cached CG
+        G = host_gram_from_csr(csr, dept)
+        G_pad = np.zeros((D, D), dtype=self.dtype)
+        G_pad[:dept, :dept] = G
+        sq = np.zeros(D, dtype=self.dtype)
+        sq[:dept] = np.diag(G)
+        q_lin = np.zeros(D, dtype=self.dtype)
+        q_lin[:dept] = np.asarray((csr[:dept] @ csr[-1].T).todense()).ravel()
+        qa_lin = float((csr[-1] @ csr[-1].T).toarray()[0, 0])
+        out = learn_from_gram_jit(
+            jnp.asarray(G_pad), jnp.asarray(sq), jnp.asarray(q_lin),
+            jnp.asarray(qa_lin, self.dtype), jnp.asarray(b_pad), jnp.asarray(mask),
+            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
+            *common, kernel=self.kernel, degree=self.degree,
+        )
+        return "sparse_gram", out
 
     # ---------------------------------------------------------------- predict
 
@@ -247,8 +297,36 @@ class CSVM:
         if self.kernel == KernelType.linear:
             # w fast path (gpu_csvm.cpp:83-91)
             if self.w_ is None:
-                self.w_ = np.asarray(_w_jit(self._X_all_device(), alphas_dev), np.float64)
+                if self._use_sparse():
+                    # w = X^T alpha through sparse BLAS; X never densifies
+                    self.w_ = np.asarray(
+                        self.data.csr.T @ self.alphas, np.float64
+                    ).ravel()
+                else:
+                    self.w_ = np.asarray(
+                        _w_jit(self._X_all_device(), alphas_dev), np.float64
+                    )
             out = points @ self.w_ + self.bias_
+        elif self._use_sparse():
+            # kernel expansion from a host-assembled cross Gram (sparse SVs)
+            from .sparse_learn import predict_from_cross_gram_jit
+
+            csr = self.data.csr
+            Gc = np.asarray((csr @ points.T).T, np.float64)
+            sq_sv = np.asarray(csr.multiply(csr).sum(axis=1)).ravel()
+            sq_p = np.sum(points * points, axis=1)
+            out = np.asarray(
+                predict_from_cross_gram_jit(
+                    jnp.asarray(Gc.astype(self.dtype)),
+                    jnp.asarray(sq_p.astype(self.dtype)),
+                    jnp.asarray(sq_sv.astype(self.dtype)),
+                    alphas_dev, jnp.asarray(self.bias_, self.dtype),
+                    jnp.asarray(self.gamma, self.dtype),
+                    jnp.asarray(self.coef0, self.dtype),
+                    kernel=self.kernel, degree=self.degree,
+                ),
+                np.float64,
+            )
         else:
             out = np.asarray(
                 _predict_jit(
@@ -311,7 +389,7 @@ class CSVM:
             model_name,
             kernel=self.kernel,
             rho=-self.bias_,
-            data=self.data.dense,
+            data=self.data.csr if self._use_sparse() else self.data.dense,
             labels=self.values,
             alphas=self.alphas,
             degree=self.degree,

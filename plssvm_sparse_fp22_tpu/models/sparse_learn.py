@@ -1,0 +1,119 @@
+"""Sparse-data training paths (CSR-retained; never densifies X).
+
+Two strategies, selected by :meth:`CSVM.learn` when the parsed data's
+density is below ``Parameter.sparse_threshold``:
+
+- linear kernel: fully implicit ELL matvec CG on device
+  (``K v = X (X^T v)`` with nnz-proportional products, ``ops/sparse.py``),
+- polynomial/RBF: the (dept, dept) Gram is assembled once from CSR on the
+  host (scipy sparse BLAS), shipped to HBM, and the kernel transform +
+  cached-mode CG run on device.  X itself never densifies.
+
+The reference has no equivalent: it always densifies
+(``parameter.hpp:51-75``) and would exhaust memory on wide sparse data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kernel_functions import PRECISION
+from ..ops.matvec import _corrections
+from ..ops.sparse import ELLMatrix, ell_matvec, ell_rmatvec
+from ..solver.cg import cg_solve
+from ..types import KernelType
+
+
+@partial(jax.jit, static_argnames=("f",))
+def learn_sparse_linear_jit(vals, cols, x_last_dense, b_pad, mask, cost, eps, imax, *, f):
+    """Linear-kernel learn over ELL-packed rows; O(nnz) per CG iteration."""
+    dtype = vals.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    ell = ELLMatrix(values=vals, cols=cols, shape=(vals.shape[0], f))
+
+    q = ell_matvec(ell, x_last_dense) * mask
+    QA_cost = jnp.dot(
+        x_last_dense, x_last_dense, preferred_element_type=dtype, precision=PRECISION
+    ) + cost_inv
+
+    def matvec(v):
+        u = ell_rmatvec(ell, v)  # X^T v : scatter into feature space
+        Kv = ell_matvec(ell, u)  # X u   : gather back to rows
+        return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
+
+    res = cg_solve(matvec, b_pad, mask, eps, imax)
+    s = jnp.sum(res.x)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+
+def _transform_gram(kernel: KernelType, G, sq, degree, gamma, coef0):
+    """Kernel transform of a precomputed Gram matrix (diag = squared norms)."""
+    if kernel == KernelType.linear:
+        return G
+    if kernel == KernelType.polynomial:
+        return jax.lax.integer_pow(gamma * G + coef0, degree)
+    if kernel == KernelType.rbf:
+        d2 = sq[:, None] + sq[None, :] - 2.0 * G
+        return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+    raise ValueError(f"unknown kernel {kernel}")
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def learn_from_gram_jit(G_pad, sq, q_lin, qa_lin, b_pad, mask,
+                        gamma, coef0, cost, eps, imax, *, kernel, degree):
+    """Cached-mode learn from a host-assembled linear Gram matrix.
+
+    ``G_pad`` is (D, D) with ``G[i, j] = <x_i, x_j>`` over the first dept
+    rows (zero padding elsewhere); ``sq`` its diagonal extended with the
+    squared norms, ``q_lin[i] = <x_i, x_last>``, ``qa_lin = <x_last,
+    x_last>``.  The kernel transform and all CG iterations run on device.
+    """
+    dtype = G_pad.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+
+    if kernel == KernelType.polynomial:
+        q = jax.lax.integer_pow(gamma * q_lin + coef0, degree) * mask
+        QA_cost = jax.lax.integer_pow(gamma * qa_lin + coef0, degree) + cost_inv
+    elif kernel == KernelType.rbf:
+        d2 = sq + qa_lin - 2.0 * q_lin
+        q = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask
+        QA_cost = jnp.asarray(1.0, dtype) + cost_inv  # exp(0)
+    else:
+        q = q_lin * mask
+        QA_cost = qa_lin + cost_inv
+
+    K = _transform_gram(kernel, G_pad, sq, degree, gamma, coef0)
+    K = K * (mask[:, None] * mask[None, :])
+
+    def matvec(v):
+        Kv = jnp.dot(K, v, preferred_element_type=dtype, precision=PRECISION)
+        return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
+
+    res = cg_solve(matvec, b_pad, mask, eps, imax)
+    s = jnp.sum(res.x)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree"))
+def predict_from_cross_gram_jit(Gc, sq_points, sq_sv, alphas, bias,
+                                gamma, coef0, *, kernel, degree):
+    """Predict from a host-assembled cross Gram ``Gc[p, i] = <point_p, x_i>``."""
+    K = _transform_gram_cross(kernel, Gc, sq_points, sq_sv, degree, gamma, coef0)
+    return jnp.dot(K, alphas, preferred_element_type=Gc.dtype, precision=PRECISION) + bias
+
+
+def _transform_gram_cross(kernel, Gc, sq_a, sq_b, degree, gamma, coef0):
+    if kernel == KernelType.linear:
+        return Gc
+    if kernel == KernelType.polynomial:
+        return jax.lax.integer_pow(gamma * Gc + coef0, degree)
+    if kernel == KernelType.rbf:
+        d2 = sq_a[:, None] + sq_b[None, :] - 2.0 * Gc
+        return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+    raise ValueError(f"unknown kernel {kernel}")

@@ -17,6 +17,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+#: f32 inputs on the TPU MXU are truncated to bf16 unless the matmul runs in
+#: HIGHEST precision (bf16x3 passes); the CG solver needs f32-grade products
+PRECISION = lax.Precision.HIGHEST
+
 from ..types import KernelType
 
 
@@ -24,14 +28,14 @@ def kernel_scalar(kernel: KernelType, xi, xj, degree=3, gamma=1.0, coef0=0.0):
     """k(xi, xj) for single vectors (used for QA_cost, ``csvm.cpp:243``)."""
     xi = jnp.asarray(xi)
     xj = jnp.asarray(xj)
-    dot = jnp.dot(xi, xj, preferred_element_type=xi.dtype)
+    dot = jnp.dot(xi, xj, preferred_element_type=xi.dtype, precision=PRECISION)
     if kernel == KernelType.linear:
         return dot
     if kernel == KernelType.polynomial:
         return (gamma * dot + coef0) ** degree
     if kernel == KernelType.rbf:
         diff = xi - xj
-        return jnp.exp(-gamma * jnp.dot(diff, diff, preferred_element_type=xi.dtype))
+        return jnp.exp(-gamma * jnp.dot(diff, diff, preferred_element_type=xi.dtype, precision=PRECISION))
     raise ValueError(f"unknown kernel {kernel}")
 
 
@@ -58,7 +62,7 @@ def gram_block(
     One MXU GEMM plus a fused element-wise epilogue.  For RBF, pass
     precomputed squared norms to avoid recomputing them per block.
     """
-    G = jnp.dot(Xi, Xj.T, preferred_element_type=Xi.dtype)
+    G = jnp.dot(Xi, Xj.T, preferred_element_type=Xi.dtype, precision=PRECISION)
     if kernel == KernelType.linear:
         return G
     if kernel == KernelType.polynomial:

@@ -45,7 +45,7 @@ from jax import lax
 
 from ..constants import ROW_BLOCK_SIZE
 from ..types import BackendType, KernelType
-from .kernel_functions import gram_block
+from .kernel_functions import PRECISION, gram_block
 
 
 def _k_cache_budget_bytes() -> int:
@@ -78,7 +78,7 @@ class MatvecOperator:
 def _corrections(Kv, v, q, mask, QA_cost, cost_inv):
     """Fold the rank-1 + diagonal corrections (``svm_kernel.cu:67-83``)."""
     s = jnp.sum(v)
-    t = jnp.dot(q, v, preferred_element_type=v.dtype)
+    t = jnp.dot(q, v, preferred_element_type=v.dtype, precision=PRECISION)
     return mask * Kv + (QA_cost * s - t) * mask - s * q + cost_inv * v
 
 
@@ -112,8 +112,8 @@ def build_operator(
 
         def matvec(v):
             # K v = X (X^T v): two GEMMs, never materializes K
-            u = jnp.dot(X_pad.T, v, preferred_element_type=dtype)
-            Kv = jnp.dot(X_pad, u, preferred_element_type=dtype)
+            u = jnp.dot(X_pad.T, v, preferred_element_type=dtype, precision=PRECISION)
+            Kv = jnp.dot(X_pad, u, preferred_element_type=dtype, precision=PRECISION)
             return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
     elif mode == "cached":
@@ -123,16 +123,22 @@ def build_operator(
         K = K * (mask[:, None] * mask[None, :])
 
         def matvec(v):
-            Kv = jnp.dot(K, v, preferred_element_type=dtype)
+            Kv = jnp.dot(K, v, preferred_element_type=dtype, precision=PRECISION)
             return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
     elif mode == "implicit":
         if backend == BackendType.pallas:
+            import jax as _jax
+
             from .pallas_matvec import gram_matvec_pallas
+
+            # Mosaic kernels need real TPU hardware; interpret elsewhere
+            interpret = _jax.default_backend() != "tpu"
 
             def matvec(v):
                 Kv = gram_matvec_pallas(
-                    kernel, X_pad, v, degree=degree, gamma=gamma, coef0=coef0
+                    kernel, X_pad, v, degree=degree, gamma=gamma, coef0=coef0,
+                    interpret=interpret,
                 )
                 return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
@@ -151,7 +157,7 @@ def build_operator(
                         kernel, Xi, X_pad, degree, gamma, coef0,
                         Xi_sqnorm=sq_i, Xj_sqnorm=sqnorms,
                     )
-                    return jnp.dot(Kblk, v, preferred_element_type=dtype)
+                    return jnp.dot(Kblk, v, preferred_element_type=dtype, precision=PRECISION)
 
                 Kv = lax.map(block_fn, (Xb, sqb)).reshape(D)
                 return _corrections(Kv, v, q, mask, QA_cost, cost_inv)

@@ -46,14 +46,14 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import RESIDUAL_REFRESH_INTERVAL
-from ..ops.kernel_functions import gram_block, kernel_scalar
+from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
 from ..types import KernelType
 from .mesh import DATA_AXIS
 
 
 def _psum_dot(a, b):
     """Deterministic distributed dot: local partial + psum."""
-    return lax.psum(jnp.dot(a, b, preferred_element_type=a.dtype), DATA_AXIS)
+    return lax.psum(jnp.dot(a, b, preferred_element_type=a.dtype, precision=PRECISION), DATA_AXIS)
 
 
 def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
@@ -76,15 +76,15 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
     if mode == "linear":
 
         def matvec(v_loc):
-            u = lax.psum(jnp.dot(X_loc.T, v_loc, preferred_element_type=dtype), DATA_AXIS)
-            Kv_loc = jnp.dot(X_loc, u, preferred_element_type=dtype)
+            u = lax.psum(jnp.dot(X_loc.T, v_loc, preferred_element_type=dtype, precision=PRECISION), DATA_AXIS)
+            Kv_loc = jnp.dot(X_loc, u, preferred_element_type=dtype, precision=PRECISION)
             return corrections(Kv_loc, v_loc)
 
     elif mode == "cached":
 
         def matvec(v_loc):
             v_full = lax.all_gather(v_loc, DATA_AXIS, tiled=True)
-            Kv_loc = jnp.dot(K_loc, v_full, preferred_element_type=dtype)
+            Kv_loc = jnp.dot(K_loc, v_full, preferred_element_type=dtype, precision=PRECISION)
             return corrections(Kv_loc, v_loc)
 
     elif mode == "implicit":
@@ -99,7 +99,7 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
                     kernel, X_loc, X_buf, degree, gamma, coef0,
                     Xi_sqnorm=sq_loc, Xj_sqnorm=sq_buf,
                 )
-                acc = acc + jnp.dot(Kblk, v_buf, preferred_element_type=dtype)
+                acc = acc + jnp.dot(Kblk, v_buf, preferred_element_type=dtype, precision=PRECISION)
                 X_buf = lax.ppermute(X_buf, DATA_AXIS, right)
                 sq_buf = lax.ppermute(sq_buf, DATA_AXIS, right)
                 v_buf = lax.ppermute(v_buf, DATA_AXIS, right)

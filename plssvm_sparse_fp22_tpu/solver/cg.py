@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import RESIDUAL_REFRESH_INTERVAL
+from ..ops.kernel_functions import PRECISION
 
 
 class CGResult(NamedTuple):
@@ -38,7 +39,7 @@ class CGResult(NamedTuple):
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=a.dtype)
+    return jnp.dot(a, b, preferred_element_type=a.dtype, precision=PRECISION)
 
 
 def cg_solve(

@@ -1,0 +1,148 @@
+"""Sparse (CSR/ELL) path tests — the capability extension over the reference.
+
+The reference always densifies sparse input (``parameter.hpp:51-75``); these
+tests check that the retained-CSR training/predict paths produce the same
+models as the dense paths.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import plssvm_sparse_fp22_tpu as pt
+from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+from plssvm_sparse_fp22_tpu.io.model import parse_model_file, write_model_file
+from plssvm_sparse_fp22_tpu.ops.sparse import (
+    ELLMatrix,
+    ell_matvec,
+    ell_rmatvec,
+    host_gram_from_csr,
+)
+from plssvm_sparse_fp22_tpu.params import Parameter
+from plssvm_sparse_fp22_tpu.types import KernelType
+
+
+def _random_sparse(n, f, density=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    csr = sp.random(n, f, density=density, format="csr", random_state=rng,
+                    data_rvs=lambda k: rng.normal(size=k))
+    # ensure no empty rows (every point has at least one feature)
+    for i in range(n):
+        if csr.indptr[i] == csr.indptr[i + 1]:
+            csr[i, rng.integers(f)] = rng.normal()
+    csr = csr.tocsr()
+    y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+    return csr, y
+
+
+class TestELL:
+    def test_pack_roundtrip(self):
+        csr, _ = _random_sparse(20, 15)
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64)
+        dense = np.zeros((20, 15))
+        v = np.asarray(ell.values)
+        c = np.asarray(ell.cols)
+        for i in range(20):
+            for l in range(ell.row_capacity):
+                if v[i, l] != 0:
+                    dense[i, c[i, l]] += v[i, l]
+        np.testing.assert_allclose(dense, csr.toarray())
+
+    def test_matvec(self):
+        csr, _ = _random_sparse(30, 12)
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64)
+        u = np.random.default_rng(1).normal(size=12)
+        np.testing.assert_allclose(
+            np.asarray(ell_matvec(ell, jnp.asarray(u))), csr @ u, rtol=1e-12
+        )
+
+    def test_rmatvec(self):
+        csr, _ = _random_sparse(30, 12)
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64)
+        v = np.random.default_rng(2).normal(size=30)
+        np.testing.assert_allclose(
+            np.asarray(ell_rmatvec(ell, jnp.asarray(v))), csr.T @ v, rtol=1e-12
+        )
+
+    def test_pad_rows(self):
+        csr, _ = _random_sparse(10, 8)
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64, pad_rows=16)
+        assert ell.values.shape[0] == 16
+        u = np.ones(8)
+        got = np.asarray(ell_matvec(ell, jnp.asarray(u)))
+        np.testing.assert_allclose(got[:10], csr @ u, rtol=1e-12)
+        np.testing.assert_array_equal(got[10:], np.zeros(6))
+
+    def test_host_gram(self):
+        csr, _ = _random_sparse(25, 40)
+        G = host_gram_from_csr(csr, dept=24)
+        X = csr.toarray()
+        np.testing.assert_allclose(G, X[:24] @ X[:24].T, rtol=1e-12)
+
+
+def _make_params(csr, y, kernel, sparse: bool, **kw):
+    p = Parameter(dtype=np.float64, kernel=kernel, gamma=0.2, coef0=1.0,
+                  max_iter=300, epsilon=1e-8,
+                  sparse_threshold=1.0 if sparse else -1.0, **kw)
+    p.data = ParsedData(csr=csr, values=y)
+    p.values = y
+    return p
+
+
+@pytest.mark.parametrize("kernel", [KernelType.linear, KernelType.polynomial, KernelType.rbf])
+class TestSparseLearnParity:
+    def test_sparse_matches_dense(self, kernel):
+        csr, y = _random_sparse(60, 25, density=0.15, seed=7)
+
+        svm_d = pt.CSVM(_make_params(csr, y, kernel, sparse=False))
+        svm_d.print_info = False
+        svm_d.learn()
+
+        svm_s = pt.CSVM(_make_params(csr, y, kernel, sparse=True))
+        svm_s.print_info = False
+        svm_s.learn()
+        assert svm_s.last_cg_info["mode"].startswith("sparse")
+
+        np.testing.assert_allclose(svm_s.alphas, svm_d.alphas, rtol=1e-5, atol=1e-7)
+        assert svm_s.bias_ == pytest.approx(svm_d.bias_, rel=1e-5, abs=1e-7)
+
+        # predictions agree on dense query points
+        P = np.random.default_rng(9).normal(size=(12, 25))
+        np.testing.assert_allclose(
+            svm_s.predict(P), svm_d.predict(P), rtol=1e-5, atol=1e-7
+        )
+
+    def test_sparse_model_file_equals_dense(self, kernel, tmp_path):
+        csr, y = _random_sparse(40, 18, density=0.2, seed=11)
+        svm = pt.CSVM(_make_params(csr, y, kernel, sparse=True))
+        svm.print_info = False
+        svm.learn()
+
+        sparse_path = tmp_path / "s.model"
+        svm.write_model(str(sparse_path))
+
+        # writing the same SVs from the densified matrix gives the same bytes
+        dense_path = tmp_path / "d.model"
+        write_model_file(
+            dense_path, kernel=svm.kernel, rho=-svm.bias_, data=csr.toarray(),
+            labels=y, alphas=svm.alphas, degree=svm.degree, gamma=svm.gamma,
+            coef0=svm.coef0,
+        )
+        assert sparse_path.read_text() == dense_path.read_text()
+
+        # and it parses back
+        m = parse_model_file(str(sparse_path))
+        assert m.support_vectors.num_points == 40
+
+
+def test_sparse_fixture_trains(reference_data_dir):
+    """The 5x4.sparse fixture (density 0.25) takes the sparse path."""
+    p = Parameter(dtype=np.float64)
+    p.parse_train_file(f"{reference_data_dir}/libsvm/5x4.sparse.libsvm")
+    svm = pt.make_csvm(p)
+    svm.print_info = False
+    svm.learn()
+    assert svm.last_cg_info["mode"].startswith("sparse")
+    assert svm.accuracy() >= 0.6
