@@ -181,7 +181,31 @@ def parse_libsvm_file(filename: str | os.PathLike, dtype=np.float64) -> ParsedDa
     Equivalent of ``parameter::parse_libsvm_file`` (``parameter.cpp:132-176``)
     minus the gamma/filename bookkeeping, which lives in
     :class:`~plssvm_sparse_fp22_tpu.params.Parameter`.
+
+    Uses the native (C++ mmap + multi-threaded) parser when available — the
+    analog of the reference's OpenMP-parallel parse — falling back to the
+    pure-Python implementation.
     """
+    result = None
+    try:
+        from .native import parse_libsvm_native
+
+        result = parse_libsvm_native(os.fspath(filename), dtype=dtype)
+    except ImportError:  # pragma: no cover
+        result = None
+    if result is not None:
+        csr, raw_values, any_unlabeled = result
+        # duplicate (row, col) entries need last-wins semantics that CSR
+        # assembly can't express; defer those rare files to the Python parser
+        rows = np.repeat(np.arange(csr.shape[0], dtype=np.int64), np.diff(csr.indptr))
+        keys = rows * np.int64(csr.shape[1] + 1) + csr.indices
+        if csr.nnz == len(np.unique(keys)):
+            if any_unlabeled:
+                values = None
+            else:
+                values = np.where(raw_values > 0, 1.0, -1.0).astype(np.float64)
+            return ParsedData(csr=csr, values=values)
+
     lines = read_lines(filename, "#")
     csr, raw_values, any_unlabeled = parse_libsvm_content(lines, dtype=dtype)
     if any_unlabeled:
