@@ -121,3 +121,26 @@ def parse_arff_file(filename: str | os.PathLike, dtype=np.float64) -> ParsedData
 
     csr = sp.csr_matrix(dense)
     return ParsedData(csr=csr, values=values if has_label else None, _dense=dense)
+
+
+def write_arff_file(
+    filename: str | os.PathLike,
+    data: np.ndarray,
+    labels: np.ndarray | None = None,
+) -> None:
+    """Write a dense ARFF file (the data-generator's second output format)."""
+    from .fmtlib import fmt_shortest
+
+    data = np.asarray(data)
+    with open(filename, "w") as f:
+        f.write("@RELATION generated\n\n")
+        for j in range(data.shape[1]):
+            f.write(f"@ATTRIBUTE feature_{j} NUMERIC\n")
+        if labels is not None:
+            f.write("@ATTRIBUTE class NUMERIC\n")
+        f.write("\n@DATA\n")
+        for i in range(data.shape[0]):
+            fields = [fmt_shortest(float(v)) for v in data[i]]
+            if labels is not None:
+                fields.append(fmt_shortest(float(labels[i])))
+            f.write(",".join(fields) + "\n")
