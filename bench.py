@@ -31,6 +31,11 @@ import numpy as np
 
 
 def _bench_jax(X, gamma, iters, mode, backend_name):
+    """CG iterations/s via a two-point slope: time the same program at two
+    iteration caps with fresh right-hand sides and divide the difference.
+    This cancels constant dispatch/transfer overhead and defeats any
+    result-level caching between identical requests (observed through the
+    remote-TPU relay)."""
     import jax
     import jax.numpy as jnp
     from plssvm_sparse_fp22_tpu.models.base import _learn_jit
@@ -46,31 +51,42 @@ def _bench_jax(X, gamma, iters, mode, backend_name):
     X_pad[:dept] = X[:dept]
     mask = np.zeros(D, dtype=dtype)
     mask[:dept] = 1.0
-    rng = np.random.default_rng(0)
-    b_pad = np.zeros(D, dtype=dtype)
-    b_pad[:dept] = np.where(rng.normal(size=dept) > 0, 2.0, -2.0)
 
-    args = (
-        jnp.asarray(X_pad), jnp.asarray(X[-1].astype(dtype)), jnp.asarray(b_pad),
-        jnp.asarray(mask), jnp.asarray(gamma, dtype), jnp.asarray(0.0, dtype),
-        jnp.asarray(1.0, dtype),
-        jnp.asarray(0.0, dtype),   # eps = 0 -> fixed iteration count
-        jnp.asarray(iters, jnp.int32),
-    )
     kw = dict(kernel=KernelType.rbf, degree=3, mode=mode,
               backend=BackendType.from_string(backend_name))
+    X_dev = jnp.asarray(X_pad)
+    xl_dev = jnp.asarray(X[-1].astype(dtype))
+    mask_dev = jnp.asarray(mask)
 
-    out = _learn_jit(*args, **kw)  # warmup: compile + first run
-    jax.block_until_ready(out)
-
-    best = float("inf")
-    for _ in range(3):
+    def run(seed, n_iters):
+        rng = np.random.default_rng(seed)
+        b_pad = np.zeros(D, dtype=dtype)
+        b_pad[:dept] = np.where(rng.normal(size=dept) > 0, 2.0, -2.0)
+        args = (
+            X_dev, xl_dev, jnp.asarray(b_pad), mask_dev,
+            jnp.asarray(gamma, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(1.0, dtype),
+            jnp.asarray(0.0, dtype),   # eps = 0 -> fixed iteration count
+            jnp.asarray(n_iters, jnp.int32),
+        )
         t0 = time.perf_counter()
         out = _learn_jit(*args, **kw)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    assert int(out[4]) == iters
-    return iters / best
+        elapsed = time.perf_counter() - t0
+        assert int(out[4]) == n_iters
+        return elapsed
+
+    lo, hi = max(4, iters // 4), iters
+    run(0, lo)  # compile both iteration counts (same program: imax is traced)
+    per_iter = float("inf")
+    for trial in range(3):
+        t_lo = run(100 + trial, lo)
+        t_hi = run(200 + trial, hi)
+        if t_hi > t_lo:
+            per_iter = min(per_iter, (t_hi - t_lo) / (hi - lo))
+    if not np.isfinite(per_iter):
+        per_iter = run(300, hi) / hi
+    return 1.0 / per_iter
 
 
 def _bench_numpy_baseline(X, gamma, iters):
@@ -117,7 +133,10 @@ def main():
 
     import jax
 
-    value = _bench_jax(X, gamma, iters, mode, "xla")
+    # the fused Pallas kernel is the flagship implicit path on TPU; the plain
+    # XLA path everywhere else
+    backend_name = "pallas" if jax.default_backend() == "tpu" else "xla"
+    value = _bench_jax(X, gamma, iters, mode, backend_name)
     baseline = _bench_numpy_baseline(X, gamma, iters)
 
     print(json.dumps({
