@@ -32,7 +32,7 @@ from ..io.model import write_model_file
 from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
 from ..ops.matvec import build_operator, choose_mode
 from ..params import Parameter
-from ..solver.cg import cg_solve
+from ..solver.cg import CGState, cg_init, cg_run, cg_solve
 from ..types import BackendType, KernelType
 
 
@@ -63,9 +63,52 @@ def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree"))
-def _predict_jit(P, X_sv, alphas, bias, gamma, coef0, *, kernel: KernelType, degree: int):
-    """f(p) = sum_i alpha_i k(x_i, p) + bias (``OpenMP/csvm.cpp:223-236``)."""
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+def _cg_setup_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost,
+                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+    """q-vector, QA_cost, and the initial CG state (checkpointed learn)."""
+    dtype = X_pad.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    q = gram_block(kernel, X_pad, x_last[None, :], degree, gamma, coef0)[:, 0] * mask
+    QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
+    op = build_operator(
+        kernel, X_pad, q, mask, QA_cost, cost_inv,
+        degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
+    )
+    state = cg_init(op.matvec, b_pad, mask)
+    return q, QA_cost, state
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+def _cg_chunk_jit(X_pad, b_pad, mask, q, QA_cost, gamma, coef0, cost, eps, imax_end,
+                  state,
+                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+    """Run CG until ``imax_end`` total iterations (or convergence)."""
+    dtype = X_pad.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    op = build_operator(
+        kernel, X_pad, q, mask, QA_cost, cost_inv,
+        degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
+    )
+    return cg_run(op.matvec, b_pad, mask, eps, imax_end, state)
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "use_pallas"))
+def _predict_jit(P, X_sv, alphas, bias, gamma, coef0, *, kernel: KernelType,
+                 degree: int, use_pallas: bool = False):
+    """f(p) = sum_i alpha_i k(x_i, p) + bias (``OpenMP/csvm.cpp:223-236``).
+
+    With ``use_pallas`` the kernel expansion runs as the fused Gram-matvec
+    Pallas kernel (the analog of ``predict_kernel.cu:32-77``, minus the
+    atomicAdd accumulation) — K(P, X_sv) is never materialized.
+    """
+    if use_pallas:
+        from ..ops.pallas_matvec import gram_matvec_pallas
+
+        out = gram_matvec_pallas(
+            kernel, P, alphas, degree=degree, gamma=gamma, coef0=coef0, Y=X_sv,
+        )
+        return out + bias
     K = gram_block(kernel, P, X_sv, degree, gamma, coef0)
     return jnp.dot(K, alphas, preferred_element_type=P.dtype, precision=PRECISION) + bias
 
@@ -221,6 +264,10 @@ class CSVM:
         X_pad[:dept] = X[:dept]
         x_last = X[-1].astype(self.dtype)
         mode = choose_mode(self.kernel, dept, self.dtype)
+        if self.params.checkpoint_path is not None:
+            return self._learn_dense_checkpointed(
+                X_pad, x_last, b_pad, mask, imax, mode, dept
+            )
         out = _learn_jit(
             jnp.asarray(X_pad), jnp.asarray(x_last), jnp.asarray(b_pad), jnp.asarray(mask),
             jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
@@ -229,6 +276,54 @@ class CSVM:
             kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
         )
         return mode, out
+
+    def _learn_dense_checkpointed(self, X_pad, x_last, b_pad, mask, imax, mode, dept):
+        """Dense learn with periodic CG-state checkpoints (resume-capable).
+
+        Extension over the reference, whose only checkpoint is the final
+        model file (SURVEY.md §5).
+        """
+        from ..solver.checkpoint import load_cg_checkpoint, save_cg_checkpoint
+
+        path = self.params.checkpoint_path
+        interval = max(1, int(self.params.checkpoint_interval))
+        Xd, bd, md = jnp.asarray(X_pad), jnp.asarray(b_pad), jnp.asarray(mask)
+        scalars = (
+            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
+            jnp.asarray(self.cost, self.dtype),
+        )
+
+        loaded = load_cg_checkpoint(path)
+        if loaded is not None:
+            state, q, QA_cost, meta = loaded
+            if int(meta.get("dept", -1)) != dept or int(meta.get("kernel", -1)) != int(self.kernel):
+                raise PLSSVMError(
+                    f"Checkpoint '{path}' does not match this training problem!"
+                )
+            if self.print_info:
+                print(f"Resumed CG from checkpoint '{path}' at iteration {int(state.k)}.")
+        else:
+            q, QA_cost, state = _cg_setup_jit(
+                Xd, jnp.asarray(x_last), bd, md, *scalars,
+                kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
+            )
+
+        eps = jnp.asarray(self.epsilon, self.dtype)
+        target = float(self.epsilon) ** 2 * float(state.delta0)
+        meta = {"dept": dept, "kernel": int(self.kernel)}
+        while int(state.k) < imax and float(state.delta) > target:
+            end = min(int(state.k) + interval, imax)
+            state = _cg_chunk_jit(
+                Xd, bd, md, q, QA_cost, *scalars, eps, jnp.asarray(end, jnp.int32),
+                state, kernel=self.kernel, degree=self.degree, mode=mode,
+                backend=self.backend,
+            )
+            save_cg_checkpoint(path, state, q, QA_cost, meta)
+
+        dtype = self.dtype
+        s = jnp.sum(state.x)
+        t = jnp.dot(q, state.x, preferred_element_type=dtype, precision=PRECISION)
+        return mode, (state.x, s, t, QA_cost, state.k, state.delta, state.delta0)
 
     def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
         from ..ops.sparse import ELLMatrix, host_gram_from_csr
@@ -328,12 +423,15 @@ class CSVM:
                 np.float64,
             )
         else:
+            use_pallas = (
+                self.backend == BackendType.pallas and jax.default_backend() == "tpu"
+            )
             out = np.asarray(
                 _predict_jit(
                     jnp.asarray(points.astype(self.dtype)), self._X_all_device(),
                     alphas_dev, jnp.asarray(self.bias_, self.dtype),
                     jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
-                    kernel=self.kernel, degree=self.degree,
+                    kernel=self.kernel, degree=self.degree, use_pallas=use_pallas,
                 ),
                 np.float64,
             )

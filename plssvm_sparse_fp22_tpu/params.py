@@ -60,6 +60,12 @@ class Parameter:
     #: CG max-iteration override; ``None`` -> ``num_features`` (``csvm.cpp:256``)
     max_iter: int | None = None
 
+    #: when set, CG state is checkpointed to this file every
+    #: ``checkpoint_interval`` iterations and training resumes from it
+    #: (extension: the reference's only checkpoint is the model file)
+    checkpoint_path: str | None = None
+    checkpoint_interval: int = 50
+
     #: keep the CSR representation and use the sparse matvec path when the
     #: data density is below this threshold (capability extension; the
     #: reference always densifies, ``parameter.hpp:51-75``)

@@ -38,6 +38,17 @@ class CGResult(NamedTuple):
     delta0: jnp.ndarray  # initial squared residual norm
 
 
+class CGState(NamedTuple):
+    """Complete resumable CG state (checkpointable between chunks)."""
+
+    k: jnp.ndarray  # int32 iteration counter
+    x: jnp.ndarray
+    r: jnp.ndarray
+    d: jnp.ndarray
+    delta: jnp.ndarray
+    delta0: jnp.ndarray
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype, precision=PRECISION)
 
@@ -56,36 +67,60 @@ def cg_solve(
     zero padding.  ``eps`` and ``imax`` may be traced scalars so tolerance /
     cap changes do not recompile.
     """
+    state = cg_init(matvec, b, mask)
+    state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval)
+    return CGResult(x=state.x, iterations=state.k, delta=state.delta, delta0=state.delta0)
+
+
+def cg_init(matvec: Callable, b: jnp.ndarray, mask: jnp.ndarray) -> CGState:
+    """Initial CG state: x = 1 on valid entries, r = b - A x
+    (``gpu_csvm.cpp:192-223``)."""
+    dtype = b.dtype
+    x0 = mask.astype(dtype)
+    r0 = b - matvec(x0)
+    delta0 = _dot(r0, r0)
+    return CGState(k=jnp.int32(0), x=x0, r=r0, d=r0, delta=delta0, delta0=delta0)
+
+
+def cg_run(
+    matvec: Callable,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps,
+    imax,
+    state: CGState,
+    refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
+) -> CGState:
+    """Continue CG from ``state`` until convergence or ``imax`` total
+    iterations.  Pass ``imax = min(state.k + chunk, total)`` to run a
+    checkpointable chunk; the iteration counter keeps the 50-step residual
+    refresh aligned across resumes."""
     dtype = b.dtype
     eps = jnp.asarray(eps, dtype)
     imax = jnp.asarray(imax, jnp.int32)
+    target = eps * eps * state.delta0
 
-    x0 = mask.astype(dtype)  # x = 1 on valid entries (gpu_csvm.cpp:192)
-    r0 = b - matvec(x0)  # r = b - A x (gpu_csvm.cpp:216-219)
-    delta0 = _dot(r0, r0)
-    target = eps * eps * delta0
+    def cond(s: CGState):
+        return jnp.logical_and(s.k < imax, s.delta > target)
 
-    def cond(state):
-        k, _x, _r, _d, delta = state
-        return jnp.logical_and(k < imax, delta > target)
-
-    def body(state):
-        k, x, r, d, delta = state
-        Ad = matvec(d)
-        alpha = delta / _dot(d, Ad)
-        x = x + alpha * d
+    def body(s: CGState):
+        Ad = matvec(s.d)
+        alpha = s.delta / _dot(s.d, Ad)
+        x = s.x + alpha * s.d
 
         def refresh(_):
             return b - matvec(x)
 
         def update(_):
-            return r - alpha * Ad
+            return s.r - alpha * Ad
 
-        r_new = lax.cond(k % refresh_interval == refresh_interval - 1, refresh, update, None)
+        r_new = lax.cond(
+            s.k % refresh_interval == refresh_interval - 1, refresh, update, None
+        )
         delta_new = _dot(r_new, r_new)
-        beta = delta_new / delta
-        d_new = beta * d + r_new
-        return (k + 1, x, r_new, d_new, delta_new)
+        beta = delta_new / s.delta
+        d_new = beta * s.d + r_new
+        return CGState(k=s.k + 1, x=x, r=r_new, d=d_new, delta=delta_new,
+                       delta0=s.delta0)
 
-    k, x, _r, _d, delta = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, delta0))
-    return CGResult(x=x, iterations=k, delta=delta, delta0=delta0)
+    return lax.while_loop(cond, body, state)
