@@ -55,9 +55,12 @@ def test_kernel_scalar(kernel):
 
 
 @pytest.mark.parametrize("kernel", KERNELS)
-@pytest.mark.parametrize("mode", ["linear", "cached", "implicit"])
+@pytest.mark.parametrize("mode", ["linear", "cached", "implicit", "pallas"])
 def test_matvec_matches_explicit_matrix(kernel, mode):
-    """A v from the operator == A v from the explicitly assembled matrix."""
+    """A v from the operator == A v from the explicitly assembled matrix.
+
+    mode='pallas' runs the fused Mosaic kernel in interpreter mode (the only
+    way to execute it off-TPU)."""
     if mode == "linear" and kernel != KernelType.linear:
         pytest.skip("mode 'linear' is linear-kernel only")
     X, y, X_pad, mask, dept, D, cost = _setup_system()
@@ -68,9 +71,13 @@ def test_matvec_matches_explicit_matrix(kernel, mode):
     q[:dept] = q_short
     QA = oracle.kernel_function(kernel, X[-1], X[-1], **HYPER) + cost_inv
 
+    from plssvm_sparse_fp22_tpu.types import BackendType
+
+    backend = BackendType.pallas if mode == "pallas" else BackendType.xla
     op = build_operator(
         kernel, jnp.asarray(X_pad), jnp.asarray(q), jnp.asarray(mask), QA, cost_inv,
-        mode=mode, row_block=32, **HYPER,
+        mode="implicit" if mode == "pallas" else mode, row_block=32,
+        backend=backend, **HYPER,
     )
 
     rng = np.random.default_rng(1)
@@ -80,7 +87,10 @@ def test_matvec_matches_explicit_matrix(kernel, mode):
     got = np.asarray(op.matvec(jnp.asarray(v)))
     want = oracle.implicit_matvec(kernel, X, q_short, QA, cost_inv, v[:dept], **HYPER)
 
-    np.testing.assert_allclose(got[:dept], want, rtol=1e-10, atol=1e-10)
+    # the pallas kernel accumulates in f32 (TPU has no f64); XLA paths run
+    # in the input dtype (f64 here)
+    tol = 1e-4 if mode == "pallas" else 1e-10
+    np.testing.assert_allclose(got[:dept], want, rtol=tol, atol=tol)
     # padding stays exactly zero (the invariant CG relies on)
     np.testing.assert_array_equal(got[dept:], np.zeros(D - dept))
 
