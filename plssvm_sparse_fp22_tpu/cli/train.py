@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help=argparse.SUPPRESS)
     parser.add_argument("--max_iter", type=int, default=None,
                         help="override the CG iteration cap (default: num_features)")
+    parser.add_argument("--verbose_cg", action="store_true",
+                        help="print every CG iteration's residual (host-syncs per "
+                             "iteration; the reference's default verbosity)")
+    parser.add_argument("--checkpoint", default=None, metavar="FILE",
+                        help="checkpoint CG state to FILE and resume from it")
+    parser.add_argument("--checkpoint_interval", type=int, default=50,
+                        help="iterations between checkpoints")
     parser.add_argument("--use_float", action="store_true",
                         help="solve in float32 (TPU-native precision) instead of float64")
     parser.add_argument("-q", "--quiet", action="store_true", help="quiet mode (no outputs)")
@@ -110,6 +117,9 @@ def main(argv=None) -> int:
         print_info=not args.quiet,
         max_iter=args.max_iter,
         dtype=np.float32 if args.use_float else np.float64,
+        verbose_cg=args.verbose_cg,
+        checkpoint_path=args.checkpoint,
+        checkpoint_interval=args.checkpoint_interval,
     )
 
     try:

@@ -264,7 +264,7 @@ class CSVM:
         X_pad[:dept] = X[:dept]
         x_last = X[-1].astype(self.dtype)
         mode = choose_mode(self.kernel, dept, self.dtype)
-        if self.params.checkpoint_path is not None:
+        if self.params.checkpoint_path is not None or self.params.verbose_cg:
             return self._learn_dense_checkpointed(
                 X_pad, x_last, b_pad, mask, imax, mode, dept
             )
@@ -287,13 +287,15 @@ class CSVM:
 
         path = self.params.checkpoint_path
         interval = max(1, int(self.params.checkpoint_interval))
+        if self.params.verbose_cg:
+            interval = 1  # per-iteration residual output (gpu_csvm.cpp:245-247)
         Xd, bd, md = jnp.asarray(X_pad), jnp.asarray(b_pad), jnp.asarray(mask)
         scalars = (
             jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
             jnp.asarray(self.cost, self.dtype),
         )
 
-        loaded = load_cg_checkpoint(path)
+        loaded = load_cg_checkpoint(path) if path is not None else None
         if loaded is not None:
             state, q, QA_cost, meta = loaded
             if int(meta.get("dept", -1)) != dept or int(meta.get("kernel", -1)) != int(self.kernel):
@@ -312,13 +314,20 @@ class CSVM:
         target = float(self.epsilon) ** 2 * float(state.delta0)
         meta = {"dept": dept, "kernel": int(self.kernel)}
         while int(state.k) < imax and float(state.delta) > target:
+            if self.params.verbose_cg and self.print_info:
+                # reference per-iteration line (gpu_csvm.cpp:245-247)
+                print(
+                    f"Start Iteration {int(state.k) + 1} (max: {imax}) with current "
+                    f"residuum {float(state.delta)} (target: {target}). "
+                )
             end = min(int(state.k) + interval, imax)
             state = _cg_chunk_jit(
                 Xd, bd, md, q, QA_cost, *scalars, eps, jnp.asarray(end, jnp.int32),
                 state, kernel=self.kernel, degree=self.degree, mode=mode,
                 backend=self.backend,
             )
-            save_cg_checkpoint(path, state, q, QA_cost, meta)
+            if path is not None:
+                save_cg_checkpoint(path, state, q, QA_cost, meta)
 
         dtype = self.dtype
         s = jnp.sum(state.x)

@@ -69,7 +69,12 @@ class Parameter:
     #: keep the CSR representation and use the sparse matvec path when the
     #: data density is below this threshold (capability extension; the
     #: reference always densifies, ``parameter.hpp:51-75``)
-    sparse_threshold: float = field(default=0.25)
+    sparse_threshold: float = 0.25
+
+    #: print the residual of every CG iteration (the reference's default
+    #: print_info behavior, ``gpu_csvm.cpp:245-247``); costs one host sync
+    #: per iteration, so it is opt-in here
+    verbose_cg: bool = False
 
     # ------------------------------------------------------------------ files
 

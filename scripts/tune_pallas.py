@@ -30,23 +30,28 @@ def main():
     reps = int(os.environ.get("TUNE_REPS", 8))
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(D, f)).astype(np.float32))
-    # distinct input per call: the remote-TPU relay caches results of
-    # byte-identical requests, so repeating one (X, v) measures nothing
-    vs = [jnp.asarray(rng.normal(size=D).astype(np.float32)) for _ in range(reps)]
-    v = vs[0]
+    v0 = jnp.asarray(rng.normal(size=D).astype(np.float32))
     flops = 2 * D * D * f
 
     print(f"platform={jax.default_backend()} D={D} f={f}")
 
+    norm = jax.jit(lambda u: u / jnp.sqrt(jnp.sum(u * u)))
+
     def timeit(fn):
-        fn(vs[0]).block_until_ready()  # compile + warm
+        """Chained dependent calls, materializing the final value.
+
+        Through the remote-TPU relay, block_until_ready is unreliable and
+        identical requests may be served from a cache; a dependency chain
+        ending in a host-materialized scalar is the only timing that must
+        execute every step."""
+        float(fn(v0)[0])  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = None
-            for i in range(reps):
-                out = fn(vs[i])
-            out.block_until_ready()
+            out = v0
+            for _ in range(reps):
+                out = norm(fn(out))
+            _ = float(out[0])  # force the whole chain
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
