@@ -117,7 +117,8 @@ def main(argv=None) -> int:
             print()
 
         svm = make_csvm(params)
-        labels = svm.predict_label(params.test_data.dense)
+        # stays CSR end-to-end when both model SVs and test data are sparse
+        labels = svm.predict_label_parsed(params.test_data)
 
         start = time.perf_counter()
         with open(params.predict_filename, "w") as f:

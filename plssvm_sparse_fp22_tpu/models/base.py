@@ -452,6 +452,50 @@ class CSVM:
         values = self.predict(points)
         return np.where(np.asarray(values) > 0.0, 1.0, -1.0)
 
+    def predict_parsed(self, parsed) -> np.ndarray:
+        """Predict a :class:`~..io.libsvm.ParsedData` batch, staying sparse
+        end-to-end when both the SVs and the points are sparse (neither is
+        ever densified — beyond the reference, which densifies at parse)."""
+        if self.alphas is None:
+            raise PLSSVMError("No alphas provided for prediction!")
+        if parsed.num_features != self.num_features:
+            raise PLSSVMError(
+                f"Number of features per data point ({self.num_features}) must match "
+                f"the number of features per predict point ({parsed.num_features})!"
+            )
+        sparse_points = parsed.density <= float(self.params.sparse_threshold)
+        if not (self._use_sparse() and sparse_points):
+            return self.predict(parsed.dense)
+
+        csr_p = parsed.csr
+        if self.kernel == KernelType.linear:
+            if self.w_ is None:
+                self.w_ = np.asarray(self.data.csr.T @ self.alphas, np.float64).ravel()
+            return np.asarray(csr_p @ self.w_, np.float64).ravel() + self.bias_
+
+        from .sparse_learn import predict_from_cross_gram_jit
+        from ..ops.sparse import host_cross_gram_from_csr
+
+        Gc = host_cross_gram_from_csr(csr_p, self.data.csr)
+        sq_p = np.asarray(csr_p.multiply(csr_p).sum(axis=1)).ravel()
+        sq_sv = np.asarray(self.data.csr.multiply(self.data.csr).sum(axis=1)).ravel()
+        return np.asarray(
+            predict_from_cross_gram_jit(
+                jnp.asarray(Gc.astype(self.dtype)),
+                jnp.asarray(sq_p.astype(self.dtype)),
+                jnp.asarray(sq_sv.astype(self.dtype)),
+                jnp.asarray(self.alphas.astype(self.dtype)),
+                jnp.asarray(self.bias_, self.dtype),
+                jnp.asarray(self.gamma, self.dtype),
+                jnp.asarray(self.coef0, self.dtype),
+                kernel=self.kernel, degree=self.degree,
+            ),
+            np.float64,
+        )
+
+    def predict_label_parsed(self, parsed) -> np.ndarray:
+        return np.where(self.predict_parsed(parsed) > 0.0, 1.0, -1.0)
+
     # --------------------------------------------------------------- accuracy
 
     def accuracy(self, points=None, labels=None) -> float:
@@ -461,6 +505,10 @@ class CSVM:
                 raise PLSSVMError(
                     "No labels given! Maybe the data is only usable for prediction?"
                 )
+            if self._use_sparse():
+                predictions = self.predict_parsed(self.data)
+                correct = int(np.sum(predictions * np.asarray(self.values) > 0.0))
+                return correct / self.num_data_points
             points, labels = self.data.dense, self.values
         points = np.asarray(points, np.float64)
         labels = np.atleast_1d(np.asarray(labels, np.float64))

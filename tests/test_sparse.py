@@ -137,6 +137,23 @@ class TestSparseLearnParity:
         assert m.support_vectors.num_points == 40
 
 
+@pytest.mark.parametrize("kernel", [KernelType.linear, KernelType.rbf])
+def test_predict_parsed_sparse_end_to_end(kernel):
+    """Sparse SVs x sparse test points: predict without densifying either."""
+    csr, y = _random_sparse(50, 20, density=0.15, seed=13)
+    svm = pt.CSVM(_make_params(csr, y, kernel, sparse=True))
+    svm.print_info = False
+    svm.learn()
+
+    test_csr, _ = _random_sparse(15, 20, density=0.15, seed=14)
+    parsed = ParsedData(csr=test_csr, values=None)
+    out_sparse = svm.predict_parsed(parsed)
+    out_dense = svm.predict(test_csr.toarray())
+    np.testing.assert_allclose(out_sparse, out_dense, rtol=1e-8, atol=1e-10)
+    # accuracy() on sparse training data also avoids densification
+    assert 0.0 <= svm.accuracy() <= 1.0
+
+
 def test_sparse_fixture_trains(reference_data_dir):
     """The 5x4.sparse fixture (density 0.25) takes the sparse path."""
     p = Parameter(dtype=np.float64)
