@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE, ROW_BLOCK_SIZE
 from ..types import KernelType
+from .kernel_functions import PRECISION
 
 
 def _transform(kernel: KernelType, G, sqi, sqj, degree, gamma, coef0):
@@ -128,7 +129,7 @@ def gram_matvec_pallas(
     bn: int = COL_BLOCK_SIZE,
     bk: int = FEATURE_BLOCK_SIZE,
     interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=PRECISION,
 ):
     """K(X, Y) @ v with the kernel transform fused; never materializes K.
 
