@@ -232,6 +232,28 @@ def write_model_file(
         "SV\n"
     )
 
+    # fast path: native multi-threaded writer (the analog of the reference's
+    # OpenMP thread-local-buffer writer, csvm.cpp:157-195)
+    from .native import write_model_native
+
+    order = np.concatenate([np.flatnonzero(pos_mask), np.flatnonzero(neg_mask)])
+    if sparse_data:
+        csr = data
+    else:
+        # CSR *view* of the dense rows (zeros are skipped by the writer
+        # itself) — avoids scipy's nonzero scan over the full matrix
+        dense = np.ascontiguousarray(data, np.float64)
+        n_rows, n_feat = dense.shape
+
+        class _DenseAsCSR:
+            indptr = np.arange(n_rows + 1, dtype=np.int64) * n_feat
+            indices = np.tile(np.arange(n_feat, dtype=np.int32), n_rows)
+            data = dense.ravel()
+
+        csr = _DenseAsCSR
+    if write_model_native(filename, header, csr, alphas, order):
+        return header
+
     with open(filename, "w") as f:
         f.write(header)
         for mask in (pos_mask, neg_mask):

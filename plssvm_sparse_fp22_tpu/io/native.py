@@ -1,12 +1,13 @@
-"""ctypes binding for the native (C++) LIBSVM parser.
+"""ctypes bindings for the native (C++) LIBSVM parser and model writer.
 
 The native layer plays the role of the reference's mmap + OpenMP parsing
-path (``file_reader.cpp:72-100``, ``parameter.cpp:41-116``).  The shared
-library is built from ``native/libsvm_parser.cpp`` (Makefile or CMake); this
-module loads it, auto-building once if the compiler is available, and falls
-back silently to the pure-Python parser otherwise.
+path (``file_reader.cpp:72-100``, ``parameter.cpp:41-116``) and its
+OpenMP-parallel model writer (``csvm.cpp:60-204``).  The shared library is
+built from ``native/*.cpp`` (Makefile or CMake); this module loads it,
+auto-building once if the compiler is available, and falls back silently to
+the pure-Python implementations otherwise.
 
-Set ``PLSSVM_NO_NATIVE_PARSER=1`` to force the Python parser.
+Set ``PLSSVM_NO_NATIVE_PARSER=1`` to force the Python paths.
 """
 
 from __future__ import annotations
@@ -72,6 +73,19 @@ def get_native_lib():
         ]
         lib.plssvm_native_free.restype = None
         lib.plssvm_native_free.argtypes = [ctypes.c_void_p]
+        lib.plssvm_native_write_model.restype = ctypes.c_int
+        lib.plssvm_native_write_model.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
 
@@ -131,3 +145,36 @@ def parse_libsvm_native(filename: str, dtype=np.float64):
     )
     csr.sort_indices()
     return csr, labels, has_labels.value == 0
+
+
+def write_model_native(filename, header: str, csr, alphas, order) -> bool:
+    """Write the SV block via the native multi-threaded writer.
+
+    ``csr`` is a scipy CSR matrix of all data rows, ``order`` the row indices
+    in output order (positives first, ``csvm.cpp:157-195``).  Returns False
+    when the native library is unavailable (caller falls back to Python);
+    raises on an actual write failure.
+    """
+    lib = get_native_lib()
+    if lib is None:
+        return False
+
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
+    values = np.ascontiguousarray(csr.data, dtype=np.float64)
+    alphas = np.ascontiguousarray(alphas, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    err = ctypes.create_string_buffer(512)
+
+    rc = lib.plssvm_native_write_model(
+        os.fspath(filename).encode(), header.encode(),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(order), err, ctypes.sizeof(err),
+    )
+    if rc != 0:
+        raise OSError(err.value.decode(errors="replace"))
+    return True

@@ -79,3 +79,79 @@ def test_inline_comment_tolerated(tmp_path):
     native = parse_libsvm_native(str(p))
     assert native[0].shape == (2, 3)
     assert native[0][0, 2] == 0.5
+
+
+class TestNativeModelWriter:
+    """Byte parity of the native writer with the Python writer (the oracle)."""
+
+    @staticmethod
+    def _write_both(tmp_path, monkeypatch, data, labels, alphas, kernel=None, **kw):
+        from plssvm_sparse_fp22_tpu.io.model import write_model_file
+        from plssvm_sparse_fp22_tpu.types import KernelType
+
+        kernel = kernel or KernelType.rbf
+        native_path = str(tmp_path / "native.model")
+        py_path = str(tmp_path / "python.model")
+        write_model_file(native_path, kernel=kernel, rho=0.5, data=data,
+                         labels=labels, alphas=alphas, **kw)
+        # force the pure-Python path for the oracle file
+        monkeypatch.setenv("PLSSVM_NO_NATIVE_PARSER", "1")
+        write_model_file(py_path, kernel=kernel, rho=0.5, data=data,
+                         labels=labels, alphas=alphas, **kw)
+        monkeypatch.delenv("PLSSVM_NO_NATIVE_PARSER")
+        return open(native_path, "rb").read(), open(py_path, "rb").read()
+
+    def test_dense_byte_parity(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(7)
+        X = np.where(rng.random((40, 12)) < 0.5, rng.normal(size=(40, 12)), 0.0)
+        y = np.where(rng.normal(size=40) > 0, 1.0, -1.0)
+        alphas = rng.normal(size=40) * 10.0 ** rng.integers(-8, 8, size=40)
+        a, b = self._write_both(tmp_path, monkeypatch, X, y, alphas, gamma=0.25)
+        assert a == b
+
+    def test_sparse_byte_parity(self, tmp_path, monkeypatch):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(11)
+        X = sp.random(60, 25, density=0.2, random_state=3, format="csr")
+        y = np.where(rng.normal(size=60) > 0, 1.0, -1.0)
+        alphas = rng.normal(size=60)
+        a, b = self._write_both(tmp_path, monkeypatch, X, y, alphas)
+        assert a == b
+
+    def test_alpha_formatting_corpus(self, tmp_path, monkeypatch):
+        """fmt_shortest parity across the double-format edge cases: integral
+        values, fixed/scientific thresholds (1e-4, 1e16), subnormals."""
+        corpus = np.array([
+            1.0, -1.0, 0.0, -0.0, 0.5, -2.5, 0.1, 1e-4, 9.9999e-5, 1e-5,
+            123456.0, 1e15, 1e16, -1e16, 9.999999999999998e15, 1e-300, 5e-324,
+            3.141592653589793, 1.2300000000000001e-05, 2.0/3.0, 1e100, -1e-100,
+        ])
+        rng = np.random.default_rng(13)
+        rand = rng.normal(size=500) * 10.0 ** rng.integers(-320, 300, size=500)
+        alphas = np.concatenate([corpus, rand])
+        n = len(alphas)
+        X = np.ones((n, 1))
+        y = np.concatenate([np.ones(n // 2), -np.ones(n - n // 2)])
+        a, b = self._write_both(tmp_path, monkeypatch, X, y, alphas)
+        assert a == b
+
+    def test_roundtrip_through_parser(self, tmp_path):
+        from plssvm_sparse_fp22_tpu.io.model import parse_model_file, write_model_file
+        from plssvm_sparse_fp22_tpu.types import KernelType
+
+        rng = np.random.default_rng(17)
+        X = rng.normal(size=(30, 8))
+        y = np.where(rng.normal(size=30) > 0, 1.0, -1.0)
+        alphas = rng.normal(size=30)
+        path = str(tmp_path / "rt.model")
+        write_model_file(path, kernel=KernelType.polynomial, rho=-1.25, data=X,
+                         labels=y, alphas=alphas, degree=4, gamma=0.5, coef0=1.5)
+        m = parse_model_file(path)
+        assert m.kernel == KernelType.polynomial
+        assert m.rho == -1.25
+        assert m.degree == 4 and m.gamma == 0.5 and m.coef0 == 1.5
+        order = np.concatenate([np.flatnonzero(y > 0), np.flatnonzero(y < 0)])
+        # feature values go through "%e" (7 significant digits, csvm.cpp:144)
+        np.testing.assert_allclose(m.support_vectors.csr.toarray(), X[order], rtol=1e-6)
+        np.testing.assert_array_equal(m.alphas, alphas[order])
