@@ -71,8 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     from ..utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    enable_compilation_cache()
 
     params = Parameter(
         backend=args.backend,

@@ -98,12 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     from ..utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
+    # argument validation precedes any device/backend initialization
+    # (parameter_train.cpp:91-95 errors before a csvm is constructed)
     if args.gamma is not None and args.gamma == 0.0:
         print("gamma = 0.0 is not allowed, it doesnt make any sense!", file=sys.stderr)
         return 1
+    enable_compilation_cache()
 
     params = Parameter(
         kernel=args.kernel_type,

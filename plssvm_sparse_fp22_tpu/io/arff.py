@@ -28,6 +28,18 @@ from .libsvm import ParsedData, _convert_float, _convert_index
 
 
 def parse_arff_file(filename: str | os.PathLike, dtype=np.float64) -> ParsedData:
+    # native (C++ mmap + multi-threaded) fast path, the analog of the
+    # reference's OpenMP-parallel ARFF parse; Python below is the oracle
+    try:
+        from .native import parse_arff_native
+
+        result = parse_arff_native(os.fspath(filename), dtype=dtype)
+    except ImportError:  # pragma: no cover
+        result = None
+    if result is not None:
+        csr, labels = result
+        return ParsedData(csr=csr, values=labels)
+
     lines = read_lines(filename, "%")
 
     # --- header (parameter.cpp:195-228) ---

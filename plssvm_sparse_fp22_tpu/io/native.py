@@ -49,7 +49,8 @@ def get_native_lib():
         if _load_attempted:
             return _lib
         _load_attempted = True
-        if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        if os.path.isdir(_NATIVE_DIR):
+            # no-op when fresh; rebuilds a missing or stale library
             _try_build()
         if not os.path.exists(_LIB_PATH):
             return None
@@ -73,6 +74,8 @@ def get_native_lib():
         ]
         lib.plssvm_native_free.restype = None
         lib.plssvm_native_free.argtypes = [ctypes.c_void_p]
+        lib.plssvm_native_parse_arff.restype = ctypes.c_int
+        lib.plssvm_native_parse_arff.argtypes = lib.plssvm_native_parse_libsvm.argtypes
         lib.plssvm_native_write_model.restype = ctypes.c_int
         lib.plssvm_native_write_model.argtypes = [
             ctypes.c_char_p,
@@ -178,3 +181,58 @@ def write_model_native(filename, header: str, csr, alphas, order) -> bool:
     if rc != 0:
         raise OSError(err.value.decode(errors="replace"))
     return True
+
+
+def parse_arff_native(filename: str, dtype=np.float64):
+    """Parse an ARFF file via the native library.
+
+    Returns ``(csr, labels_or_None)`` matching
+    :func:`..arff.parse_arff_file` semantics (labels already sign-mapped),
+    or ``None`` when the native library is unavailable.
+    """
+    from ..exceptions import FileNotFoundError_, InvalidFileFormatError
+
+    lib = get_native_lib()
+    if lib is None:
+        return None
+
+    indptr_p = ctypes.POINTER(ctypes.c_int64)()
+    indices_p = ctypes.POINTER(ctypes.c_int32)()
+    values_p = ctypes.POINTER(ctypes.c_double)()
+    labels_p = ctypes.POINTER(ctypes.c_double)()
+    n_rows = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    n_features = ctypes.c_int64()
+    has_labels = ctypes.c_int()
+    err = ctypes.create_string_buffer(512)
+
+    rc = lib.plssvm_native_parse_arff(
+        os.fspath(filename).encode(), ctypes.byref(indptr_p), ctypes.byref(indices_p),
+        ctypes.byref(values_p), ctypes.byref(labels_p), ctypes.byref(n_rows),
+        ctypes.byref(nnz), ctypes.byref(n_features), ctypes.byref(has_labels),
+        err, ctypes.sizeof(err),
+    )
+    if rc != 0:
+        msg = err.value.decode(errors="replace")
+        if msg.startswith("Couldn't find file"):
+            raise FileNotFoundError_(msg)
+        raise InvalidFileFormatError(msg)
+
+    try:
+        n = n_rows.value
+        m = nnz.value
+        indptr = np.ctypeslib.as_array(indptr_p, shape=(n + 1,)).copy()
+        indices = np.ctypeslib.as_array(indices_p, shape=(max(m, 1),))[:m].copy()
+        values = np.ctypeslib.as_array(values_p, shape=(max(m, 1),))[:m].astype(dtype)
+        labels = np.ctypeslib.as_array(labels_p, shape=(max(n, 1),))[:n].copy()
+    finally:
+        lib.plssvm_native_free(indptr_p)
+        lib.plssvm_native_free(indices_p)
+        lib.plssvm_native_free(values_p)
+        lib.plssvm_native_free(labels_p)
+
+    csr = sp.csr_matrix(
+        (values, indices.astype(np.int64), indptr), shape=(n, n_features.value),
+        dtype=dtype,
+    )
+    return csr, (labels if has_labels.value == 1 else None)

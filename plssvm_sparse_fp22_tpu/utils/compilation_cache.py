@@ -33,7 +33,13 @@ def enable_compilation_cache() -> str | None:
         return None
     import jax
 
-    platform = jax.default_backend()
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:
+        # backend init can fail (e.g. the TPU tunnel is held by another
+        # process); the cache is an optimization, never a hard error here —
+        # the actual compute path will surface the failure with context
+        return None
     if platform == "cpu":
         return None
     cache_dir = os.environ.get("PLSSVM_COMPILATION_CACHE_DIR", _DEFAULT_DIR)

@@ -155,3 +155,125 @@ class TestNativeModelWriter:
         # feature values go through "%e" (7 significant digits, csvm.cpp:144)
         np.testing.assert_allclose(m.support_vectors.csr.toarray(), X[order], rtol=1e-6)
         np.testing.assert_array_equal(m.alphas, alphas[order])
+
+
+class TestNativeArffParser:
+    """Native ARFF parser parity with the Python oracle (io/arff.py)."""
+
+    @staticmethod
+    def _python_parse(path):
+        from plssvm_sparse_fp22_tpu.io import arff as arff_mod
+
+        # bypass the native fast path inside parse_arff_file
+        import plssvm_sparse_fp22_tpu.io.native as native_mod
+        real = native_mod.parse_arff_native
+        native_mod.parse_arff_native = lambda *a, **k: None
+        try:
+            return arff_mod.parse_arff_file(path)
+        finally:
+            native_mod.parse_arff_native = real
+
+    @pytest.mark.parametrize("fixture", ["5x4.arff", "5x4.arff.no_label"])
+    def test_parity_with_python_parser(self, reference_data_dir, fixture):
+        from plssvm_sparse_fp22_tpu.io.native import parse_arff_native
+
+        path = f"{reference_data_dir}/arff/{fixture}"
+        native_csr, native_labels = parse_arff_native(path)
+        py = self._python_parse(path)
+        np.testing.assert_array_equal(native_csr.toarray(), py.dense)
+        if py.values is None:
+            assert native_labels is None
+        else:
+            np.testing.assert_array_equal(native_labels, py.values)
+
+    def test_sparse_rows_parity(self, tmp_path):
+        """Sparse {idx value, ...} rows, mixed with dense rows."""
+        from plssvm_sparse_fp22_tpu.io.native import parse_arff_native
+
+        p = tmp_path / "mixed.arff"
+        p.write_text(
+            "% comment\n"
+            "@RELATION mixed\n"
+            "@ATTRIBUTE a NUMERIC\n@ATTRIBUTE b numeric\n@ATTRIBUTE c NUMERIC\n"
+            "@ATTRIBUTE class NUMERIC\n"
+            "@DATA\n"
+            "{0 1.5, 3 1}\n"
+            "-0.25,3.5,0.0,-1\n"
+            "{1 -2.25, 2 4.5, 3 -1}\n"
+            "{3 -2}\n"
+        )
+        csr, labels = parse_arff_native(str(p))
+        py = self._python_parse(str(p))
+        np.testing.assert_array_equal(csr.toarray(), py.dense)
+        np.testing.assert_array_equal(labels, py.values)
+        np.testing.assert_array_equal(labels, [1.0, -1.0, -1.0, -1.0])
+
+    @pytest.mark.parametrize(
+        "content, message",
+        [
+            ("@ATTRIBUTE a STRING\n@DATA\n1\n", "Can only use NUMERIC features"),
+            ("@ATTRIBUTE c class NUMERIC\n@ATTRIBUTE a NUMERIC\n@DATA\n1,1\n",
+             "Only the last ATTRIBUTE may be CLASS!"),
+            ("@DATA\n1.0\n", "no ATTRIBUTES are defined!"),
+            ("@ATTRIBUTE a NUMERIC\n", "no data points are given or @DATA is missing!"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\n@RELATION x\n", "Read @ inside data section!"),
+            ("@ATTRIBUTE a NUMERIC\n@ATTRIBUTE b NUMERIC\n@DATA\n{0 1.0\n",
+             "Missing closing '}' for sparse data point 0"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\n{zzz}\n", "Invalid sparse entry 'zzz' for data point 0!"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\n{5 1.0}\n", "Too many features given!"),
+            ("@ATTRIBUTE a NUMERIC\n@ATTRIBUTE c class NUMERIC\n@DATA\n{0 1.0}\n",
+             "Missing label for data point 0!"),
+            ("@ATTRIBUTE a NUMERIC\n@ATTRIBUTE b NUMERIC\n@DATA\n1.0\n",
+             "Invalid number of features/labels! Found 0 but should be 1!"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\n1.0,2.0,3.0\n",
+             "Too many features! Superfluous '2.0,3.0' for data point 0!"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\nxyz\n",
+             "Can't convert 'xyz' to a value of type real_type!"),
+            ("@ATTRIBUTE a NUMERIC\n@DATA\n{0 abc}\n",
+             "Can't convert 'abc' to a value of type real_type!"),
+            ("@ATTRIBUTE a NUMERIC\n@ATTRIBUTE b NUMERIC\n@DATA\n{1.5 2.0}\n",
+             "Can't convert '1.5' to a value of type unsigned long!"),
+        ],
+    )
+    def test_error_message_parity(self, tmp_path, content, message):
+        """Both parsers reject with the same message."""
+        import re
+
+        from plssvm_sparse_fp22_tpu.io.native import parse_arff_native
+
+        p = tmp_path / "bad.arff"
+        p.write_text(content)
+        with pytest.raises(InvalidFileFormatError, match=re.escape(message)):
+            parse_arff_native(str(p))
+        with pytest.raises(InvalidFileFormatError, match=re.escape(message)):
+            self._python_parse(str(p))
+
+    def test_sparse_duplicate_last_wins(self, tmp_path):
+        """Duplicate sparse indices: the Python oracle assigns into a dense
+        row, so the last value wins — native must match."""
+        p = tmp_path / "dup.arff"
+        p.write_text(
+            "@ATTRIBUTE a NUMERIC\n@ATTRIBUTE b NUMERIC\n"
+            "@ATTRIBUTE c class NUMERIC\n@DATA\n{0 1.0, 0 3.5, 2 1}\n"
+        )
+        from plssvm_sparse_fp22_tpu.io.native import parse_arff_native
+
+        csr, labels = parse_arff_native(str(p))
+        py = self._python_parse(str(p))
+        np.testing.assert_array_equal(csr.toarray(), [[3.5, 0.0]])
+        np.testing.assert_array_equal(csr.toarray(), py.dense)
+        np.testing.assert_array_equal(labels, py.values)
+
+    def test_random_roundtrip_parity(self, tmp_path):
+        from plssvm_sparse_fp22_tpu.io.arff import write_arff_file
+        from plssvm_sparse_fp22_tpu.io.native import parse_arff_native
+
+        rng = np.random.default_rng(5)
+        X = np.where(rng.random((80, 17)) < 0.4, rng.normal(size=(80, 17)), 0.0)
+        y = np.where(rng.normal(size=80) > 0, 1.0, -1.0)
+        path = str(tmp_path / "rt.arff")
+        write_arff_file(path, X, y)
+        csr, labels = parse_arff_native(path)
+        py = self._python_parse(path)
+        np.testing.assert_array_equal(csr.toarray(), py.dense)
+        np.testing.assert_array_equal(labels, py.values)
