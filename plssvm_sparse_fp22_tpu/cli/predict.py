@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help=argparse.SUPPRESS)
     parser.add_argument("--use_float", action="store_true",
                         help="predict in float32 instead of float64")
+    parser.add_argument("--sparse_threshold", type=float, default=0.25,
+                        help="keep data in CSR when its density is at or below "
+                             "this fraction (0 disables the sparse path, 1 forces it)")
     parser.add_argument("-q", "--quiet", action="store_true", help="quiet mode (no outputs)")
     parser.add_argument("-h", "--help", action="help", help="print this helper message")
     parser.add_argument("test", metavar="test_file")
@@ -79,6 +82,7 @@ def main(argv=None) -> int:
         target=args.target_platform,
         print_info=not args.quiet,
         dtype=np.float32 if args.use_float else np.float64,
+        sparse_threshold=args.sparse_threshold,
     )
 
     try:

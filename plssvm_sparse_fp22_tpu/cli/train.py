@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="iterations between checkpoints")
     parser.add_argument("--use_float", action="store_true",
                         help="solve in float32 (TPU-native precision) instead of float64")
+    parser.add_argument("--sparse_threshold", type=float, default=0.25,
+                        help="keep data in CSR when its density is at or below "
+                             "this fraction (0 disables the sparse path, 1 forces it)")
     parser.add_argument("-q", "--quiet", action="store_true", help="quiet mode (no outputs)")
     parser.add_argument("-h", "--help", action="help", help="print this helper message")
     parser.add_argument("input", metavar="training_set_file")
@@ -119,6 +122,7 @@ def main(argv=None) -> int:
         print_info=not args.quiet,
         max_iter=args.max_iter,
         dtype=np.float32 if args.use_float else np.float64,
+        sparse_threshold=args.sparse_threshold,
         verbose_cg=args.verbose_cg,
         checkpoint_path=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,

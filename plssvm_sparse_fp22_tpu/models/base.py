@@ -352,17 +352,28 @@ class CSVM:
             )
             return "sparse_linear", out
 
-        # poly/rbf: host-assembled Gram (X never densified), cached CG
-        G = host_gram_from_csr(csr, dept)
-        G_pad = np.zeros((D, D), dtype=self.dtype)
-        G_pad[:dept, :dept] = G
-        sq = np.zeros(D, dtype=self.dtype)
-        sq[:dept] = np.diag(G)
+        # poly/rbf: Gram assembled once (X never densified), cached CG.
+        # MXU blockwise assembly from ELL for moderate feature widths; host
+        # sparse BLAS for extremely wide data (news20-scale)
+        from ..ops.sparse import device_gram_from_ell, device_gram_max_features
+
+        if f <= device_gram_max_features():
+            ell = ELLMatrix.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            G_dev = device_gram_from_ell(ell)
+            sq_dev = jnp.diag(G_dev)
+        else:
+            G = host_gram_from_csr(csr, dept)
+            G_pad = np.zeros((D, D), dtype=self.dtype)
+            G_pad[:dept, :dept] = G
+            sq = np.zeros(D, dtype=self.dtype)
+            sq[:dept] = np.diag(G)
+            G_dev = jnp.asarray(G_pad)
+            sq_dev = jnp.asarray(sq)
         q_lin = np.zeros(D, dtype=self.dtype)
         q_lin[:dept] = np.asarray((csr[:dept] @ csr[-1].T).todense()).ravel()
         qa_lin = float((csr[-1] @ csr[-1].T).toarray()[0, 0])
         out = learn_from_gram_jit(
-            jnp.asarray(G_pad), jnp.asarray(sq), jnp.asarray(q_lin),
+            G_dev, sq_dev, jnp.asarray(q_lin),
             jnp.asarray(qa_lin, self.dtype), jnp.asarray(b_pad), jnp.asarray(mask),
             jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
             *common, kernel=self.kernel, degree=self.degree,

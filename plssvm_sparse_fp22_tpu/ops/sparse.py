@@ -22,6 +22,7 @@ feeds TPU-native sparse execution:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -101,3 +102,62 @@ def host_gram_from_csr(csr: sp.csr_matrix, dept: int | None = None) -> np.ndarra
 def host_cross_gram_from_csr(csr_a: sp.csr_matrix, csr_b: sp.csr_matrix) -> np.ndarray:
     """Dense cross Gram A B^T on the host (predict path over sparse data)."""
     return np.asarray((csr_a @ csr_b.T).todense(), dtype=np.float64)
+
+
+def device_gram_from_ell(ell: ELLMatrix, *, row_block: int = 256) -> jnp.ndarray:
+    """Dense Gram ``G = X X^T`` assembled on device from the ELL packing.
+
+    Streams block *pairs*: each (row_block, f) block is densified from its
+    ELL slice with one scatter-add, then the block product runs on the MXU.
+    Peak extra memory is two dense blocks — X itself is never densified.
+
+    Compared to the host SpGEMM (:func:`host_gram_from_csr`), the MXU's
+    throughput advantage beats the O(n^2 f)-vs-O(n nnz) work disadvantage
+    for all but extremely wide data (the caller gates on ``f``).
+    """
+    n, f = ell.shape
+    L = ell.row_capacity
+    bm = min(row_block, n)
+    if n % bm != 0:
+        raise ValueError(f"ELL rows {n} not divisible by row block {bm}")
+    nb = n // bm
+    Vb = ell.values.reshape(nb, bm, L)
+    Cb = ell.cols.reshape(nb, bm, L)
+    row_idx = jnp.arange(bm)[:, None]
+
+    def densify(vals_blk, cols_blk):
+        dense = jnp.zeros((bm, f), vals_blk.dtype)
+        return dense.at[row_idx, cols_blk].add(vals_blk)
+
+    from .kernel_functions import PRECISION
+
+    def row_fn(args):
+        vi, ci = args
+        Xi = densify(vi, ci)
+
+        def col_fn(args2):
+            vj, cj = args2
+            Xj = densify(vj, cj)
+            return jnp.dot(
+                Xi, Xj.T, preferred_element_type=Xi.dtype, precision=PRECISION
+            )
+
+        return jax.lax.map(col_fn, (Vb, Cb))  # (nb, bm, bm)
+
+    G = jax.lax.map(row_fn, (Vb, Cb))  # (nb, nb, bm, bm)
+    return G.transpose(0, 2, 1, 3).reshape(n, n)
+
+
+#: widest feature count for which the blockwise device Gram assembly is used;
+#: beyond it a (row_block, f) dense block stops being cheap and the host
+#: SpGEMM wins (news20-scale data).
+DEVICE_GRAM_MAX_FEATURES = 65536
+
+
+def device_gram_max_features() -> int:
+    """Env-overridable feature-width cutoff for the device Gram path."""
+    try:
+        return int(os.environ.get(
+            "PLSSVM_DEVICE_GRAM_MAX_FEATURES", DEVICE_GRAM_MAX_FEATURES))
+    except ValueError:
+        return DEVICE_GRAM_MAX_FEATURES

@@ -163,3 +163,70 @@ def test_sparse_fixture_trains(reference_data_dir):
     svm.learn()
     assert svm.last_cg_info["mode"].startswith("sparse")
     assert svm.accuracy() >= 0.6
+
+
+class TestDeviceGram:
+    """MXU blockwise Gram assembly from ELL vs the host SpGEMM oracle."""
+
+    def test_matches_host_gram(self):
+        import scipy.sparse as sp
+
+        from plssvm_sparse_fp22_tpu.ops.sparse import (
+            ELLMatrix,
+            device_gram_from_ell,
+            host_gram_from_csr,
+        )
+
+        csr = sp.random(100, 37, density=0.15, random_state=0, format="csr")
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64, pad_rows=128)
+        G_dev = np.asarray(device_gram_from_ell(ell, row_block=32))
+        G_host = host_gram_from_csr(csr)
+        np.testing.assert_allclose(G_dev[:100, :100], G_host, rtol=1e-12)
+        # padding rows/cols are exact zeros
+        assert not G_dev[100:, :].any() and not G_dev[:, 100:].any()
+
+    def test_indivisible_block_raises(self):
+        import scipy.sparse as sp
+
+        from plssvm_sparse_fp22_tpu.ops.sparse import ELLMatrix, device_gram_from_ell
+
+        csr = sp.random(10, 5, density=0.5, random_state=1, format="csr")
+        ell = ELLMatrix.from_csr(csr, dtype=np.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            device_gram_from_ell(ell, row_block=3)
+
+    @pytest.mark.parametrize("kernel", ["polynomial", "rbf"])
+    def test_sparse_learn_device_vs_host_gram(self, kernel, monkeypatch):
+        """The full sparse poly/rbf training path gives the same model with
+        the device Gram as with the host SpGEMM."""
+        import scipy.sparse as sp
+
+        from plssvm_sparse_fp22_tpu.params import Parameter
+        from plssvm_sparse_fp22_tpu.models.factory import make_csvm
+        from plssvm_sparse_fp22_tpu.types import KernelType
+
+        rng = np.random.default_rng(23)
+        X = sp.random(120, 40, density=0.12, random_state=2, format="csr")
+        y = np.where(rng.normal(size=120) > 0, 1.0, -1.0)
+
+        def train():
+            # f64: the host path assembles the Gram in f64 and casts, the
+            # device path assembles in working precision — only equal at f64
+            params = Parameter(
+                kernel=KernelType.from_string(kernel), gamma=0.1, epsilon=1e-8,
+                print_info=False, sparse_threshold=1.0, dtype=np.float64,
+            )
+            params.data = ParsedData(csr=X, values=y)
+            params.values = y
+            svm = make_csvm(params)
+            svm.learn()
+            # decision values are the CG-stable comparison quantity (alphas
+            # of an ill-conditioned system amplify last-bit Gram rounding)
+            return svm.predict_parsed(svm.data), svm.last_cg_info["mode"]
+
+        monkeypatch.setenv("PLSSVM_DEVICE_GRAM_MAX_FEATURES", "100000")
+        d_dev, mode_dev = train()
+        monkeypatch.setenv("PLSSVM_DEVICE_GRAM_MAX_FEATURES", "0")
+        d_host, mode_host = train()
+        assert mode_dev == mode_host == "sparse_gram"
+        np.testing.assert_allclose(d_dev, d_host, rtol=1e-4, atol=1e-6)
