@@ -130,13 +130,16 @@ def build_operator(
         if backend == BackendType.pallas:
             import jax as _jax
 
-            from .pallas_matvec import gram_matvec_pallas
+            from .pallas_matvec import gram_matvec_pallas_auto
 
             # Mosaic kernels need real TPU hardware; interpret elsewhere
             interpret = _jax.default_backend() != "tpu"
 
             def matvec(v):
-                Kv = gram_matvec_pallas(
+                # symmetric (triangular block-pair) kernel when it applies:
+                # ~2x fewer MXU FLOPs, the analog of the reference's
+                # triangular grid (svm_kernel.cu:26)
+                Kv = gram_matvec_pallas_auto(
                     kernel, X_pad, v, degree=degree, gamma=gamma, coef0=coef0,
                     interpret=interpret,
                 )

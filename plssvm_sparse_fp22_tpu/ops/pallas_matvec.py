@@ -32,16 +32,37 @@ Block sizes come from ``constants.py`` (the analog of
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE, ROW_BLOCK_SIZE
 from ..types import KernelType
-from .kernel_functions import PRECISION
+from .kernel_functions import PRECISION  # noqa: F401  (re-exported)
+
+
+def _resolve_pallas_precision():
+    """Default MXU tier for the Pallas Gram product: ``high`` = 3-pass
+    split-bf16 (~1e-5 relative Gram accuracy, ~1.4x faster than exact f32
+    emulation on v5e; the epilogue GEMVs and all CG BLAS-1 stay exact f32).
+    ``PLSSVM_MATMUL_PRECISION=highest`` forces exact f32 products everywhere.
+    Precedent: the reference compiles its device kernels with
+    ``-cl-fast-relaxed-math`` (``OpenCL/detail/utility.cpp:287``)."""
+    name = os.environ.get("PLSSVM_MATMUL_PRECISION", "high").lower()
+    return {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+        "fastest": lax.Precision.DEFAULT,
+    }.get(name, lax.Precision.HIGH)
+
+
+PALLAS_PRECISION = _resolve_pallas_precision()
 
 
 def _transform(kernel: KernelType, G, sqi, sqj, degree, gamma, coef0):
@@ -62,19 +83,23 @@ def _transform(kernel: KernelType, G, sqi, sqj, degree, gamma, coef0):
 
 def _gram_matvec_kernel(
     scalars_ref,  # SMEM (2,): gamma, coef0
-    xi_ref,  # (BM, BK) block of Xi
-    xj_ref,  # (BN, BK) block of Xj
-    v_ref,  # (BN, 1) block of v
-    sqi_ref,  # (BM, 1) squared norms of Xi rows
-    sqj_ref,  # (BN, 1) squared norms of Xj rows
-    out_ref,  # (BM, 1) output block (resident across the j/k sweep)
-    acc_ref,  # VMEM scratch (BM, BN): Gram accumulator over k
-    *,
+    *refs,
+    # exact:  xi, xj, v, sqi, sqj, out, acc
+    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, v, sqi, sqj, out, acc
     kernel: KernelType,
     degree: int,
     nk: int,
     precision,
+    decomp: str,
 ):
+    if decomp == "bf16x3":
+        xi_hi, xj_hi, xi_lo, xj_lo = refs[:4]
+        refs = refs[4:]
+    else:
+        xi_ref, xj_ref = refs[:2]
+        refs = refs[2:]
+    v_ref, sqi_ref, sqj_ref, out_ref, acc_ref = refs
+
     j = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -86,25 +111,35 @@ def _gram_matvec_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # contract the feature dims directly (no transpose materialization);
-    # HIGHEST = bf16x3 passes so f32 inputs keep f32-grade products (the
-    # MXU natively multiplies bf16)
-    acc_ref[:] += lax.dot_general(
-        xi_ref[:], xj_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    def _dg(a, b, prec):
+        # contract the feature dims directly (no transpose materialization)
+        return lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    if decomp == "bf16x3":
+        # 3-pass split-bf16 product: see _split_bf16 / _gram_matvec_sym_kernel
+        acc_ref[:] += (
+            _dg(xi_hi[:], xj_hi[:], lax.Precision.DEFAULT)
+            + _dg(xi_hi[:], xj_lo[:], lax.Precision.DEFAULT)
+            + _dg(xi_lo[:], xj_hi[:], lax.Precision.DEFAULT)
+        )
+    else:
+        acc_ref[:] += _dg(xi_ref[:], xj_ref[:], precision)
 
     @pl.when(k == nk - 1)
     def _():
         gamma = scalars_ref[0]
         coef0 = scalars_ref[1]
         K = _transform(kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0)
+        # the epilogue GEMV is a negligible FLOP fraction — always exact
         out_ref[:] += jnp.dot(
-            K.astype(v_ref.dtype), v_ref[:],
+            K, v_ref[:].astype(K.dtype),
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=lax.Precision.HIGHEST,
         ).astype(out_ref.dtype)
 
 
@@ -129,7 +164,7 @@ def gram_matvec_pallas(
     bn: int = COL_BLOCK_SIZE,
     bk: int = FEATURE_BLOCK_SIZE,
     interpret: bool = False,
-    precision=PRECISION,
+    precision=PALLAS_PRECISION,
 ):
     """K(X, Y) @ v with the kernel transform fused; never materializes K.
 
@@ -159,13 +194,25 @@ def gram_matvec_pallas(
 
     nI, nJ, nK = Dp // bm, Np // bn, fp // bk
 
+    decomp = "bf16x3" if (
+        precision == lax.Precision.HIGH and dtype == jnp.float32
+    ) else "exact"
+    # index maps receive the scalar-prefetch ref as a trailing arg
+    x_spec = pl.BlockSpec((bm, bk), lambda i, j, k, s: (i, k))
+    y_spec = pl.BlockSpec((bn, bk), lambda i, j, k, s: (j, k))
+    if decomp == "bf16x3":
+        X_hi, X_lo = _split_bf16(X)
+        Y_hi, Y_lo = (X_hi, X_lo) if Y is X else _split_bf16(Y)
+        x_operands = (X_hi, Y_hi, X_lo, Y_lo)
+        x_specs = [x_spec, y_spec, x_spec, y_spec]
+    else:
+        x_operands = (X, Y)
+        x_specs = [x_spec, y_spec]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nI, nJ, nK),
-        in_specs=[
-            # index maps receive the scalar-prefetch ref as a trailing arg
-            pl.BlockSpec((bm, bk), lambda i, j, k, s: (i, k)),
-            pl.BlockSpec((bn, bk), lambda i, j, k, s: (j, k)),
+        in_specs=x_specs + [
             pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),
             pl.BlockSpec((bm, 1), lambda i, j, k, s: (i, 0)),
             pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),
@@ -177,7 +224,7 @@ def gram_matvec_pallas(
     out = pl.pallas_call(
         functools.partial(
             _gram_matvec_kernel, kernel=kernel, degree=degree, nk=nK,
-            precision=precision,
+            precision=precision, decomp=decomp,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Dp, 1), dtype),
@@ -187,6 +234,252 @@ def gram_matvec_pallas(
             transcendentals=Dp * Np if kernel == KernelType.rbf else 0,
         ),
         interpret=interpret,
-    )(scalars, X, Y, v_pad[:, None], sqx, sqy)
+    )(scalars, *x_operands, v_pad[:, None], sqx, sqy)
 
     return out[:D, 0]
+
+
+# --------------------------------------------------------------------------
+# symmetric (triangular) variant — the training-loop hot path
+# --------------------------------------------------------------------------
+
+def _split_bf16(X):
+    """Exact split X = hi + lo with hi, lo in bfloat16 (bit-masked mantissa
+    truncation — a plain f32->bf16->f32 round trip gets folded away by XLA's
+    simplifier).  Feeds the 3-pass split-bf16 Gram product."""
+    bits = lax.bitcast_convert_type(X, jnp.uint32)
+    hi_f32 = lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: low mantissa bits are zero
+    lo = (X - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _sym_out2_budget_bytes() -> int:
+    """HBM budget for the per-pair transpose-contribution buffer; beyond it
+    the full (non-triangular) kernel is used instead."""
+    return int(os.environ.get("PLSSVM_SYM_SCRATCH_BYTES", 1 * 1024**3))
+
+
+def symmetric_enabled() -> bool:
+    return os.environ.get("PLSSVM_PALLAS_SYMMETRIC", "1") not in ("0", "off", "false")
+
+
+def _gram_matvec_sym_kernel(
+    scalars_ref,  # SMEM (2,): gamma, coef0
+    pi_ref,  # SMEM (T,): row-block index of pair t
+    pj_ref,  # SMEM (T,): col-block index of pair t (pj <= pi)
+    *refs,
+    # exact:  xi, xj, vj, vi, sqi, sqj, out1, out2, acc
+    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj, vi, sqi, sqj, out1, out2, acc
+    kernel: KernelType,
+    degree: int,
+    nk: int,
+    precision,
+    decomp: str,
+):
+    if decomp == "bf16x3":
+        xi_hi, xj_hi, xi_lo, xj_lo = refs[:4]
+        refs = refs[4:]
+    else:
+        xi_ref, xj_ref = refs[:2]
+        refs = refs[2:]
+    vj_ref, vi_ref, sqi_ref, sqj_ref, out1_ref, out2_ref, acc_ref = refs
+
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    i = pi_ref[t]
+    j = pj_ref[t]
+
+    # out1 block pi[t] stays resident while i is fixed (j sweeps 0..i);
+    # initialize it at the first pair of each row
+    @pl.when(jnp.logical_and(j == 0, k == 0))
+    def _():
+        out1_ref[:] = jnp.zeros_like(out1_ref)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def _dg(a, b, prec):
+        return lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    if decomp == "bf16x3":
+        # manual 3-pass split-bf16 product (X = hi + lo):
+        # G ~= hi hi^T + hi lo^T + lo hi^T — f32-grade accuracy at ~3x the
+        # single-pass bf16 MXU rate instead of the ~11x-slower exact-f32
+        # emulation.  The reference's own device kernels run with
+        # -cl-fast-relaxed-math (OpenCL/detail/utility.cpp:287).
+        acc_ref[:] += (
+            _dg(xi_hi[:], xj_hi[:], lax.Precision.DEFAULT)
+            + _dg(xi_hi[:], xj_lo[:], lax.Precision.DEFAULT)
+            + _dg(xi_lo[:], xj_hi[:], lax.Precision.DEFAULT)
+        )
+    else:
+        acc_ref[:] += _dg(xi_ref[:], xj_ref[:], precision)
+
+    @pl.when(k == nk - 1)
+    def _():
+        gamma = scalars_ref[0]
+        coef0 = scalars_ref[1]
+        K = _transform(kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0)
+        # the epilogue GEMVs are a negligible FLOP fraction — always exact
+        Kv = jnp.dot(
+            K, vj_ref[:].astype(K.dtype),
+            preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+        )
+        out1_ref[:] += Kv.astype(out1_ref.dtype)
+        # transpose contribution K^T v_i = (v_i^T K)^T, owned by column block
+        # pj[t]; written once per pair (no revisits, no atomics — the analog
+        # of the reference's atomicAdd symmetric scatter, svm_kernel.cu:74,85)
+        vK = lax.dot_general(
+            vi_ref[:].astype(K.dtype), K,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # (1, BM)
+        bm = vK.shape[1]
+        rows = lax.broadcasted_iota(jnp.int32, (8, bm), 0)
+        keep = jnp.logical_and(rows == 0, i != j)
+        out2_ref[0] = jnp.where(keep, jnp.broadcast_to(vK, (8, bm)), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "degree", "bm", "bk", "interpret", "precision"),
+)
+def gram_matvec_pallas_sym(
+    kernel: KernelType,
+    X,  # (D, f) row-padded data, D divisible by bm
+    v,  # (D,)
+    *,
+    degree: int = 3,
+    gamma=1.0,
+    coef0=0.0,
+    bm: int = ROW_BLOCK_SIZE,
+    bk: int = FEATURE_BLOCK_SIZE,
+    interpret: bool = False,
+    precision=PALLAS_PRECISION,
+):
+    """K(X, X) @ v exploiting Gram symmetry: only lower-triangular block
+    pairs are computed (~2x fewer MXU FLOPs than :func:`gram_matvec_pallas`).
+
+    The grid enumerates pairs ``(i, j), j <= i`` via scalar-prefetched index
+    arrays; each pair adds ``f(G_ij) @ v_j`` into the resident row-block
+    output and emits ``f(G_ij)^T @ v_i`` into a per-pair slot that is
+    segment-summed per column block afterwards.  This replaces the
+    reference's triangular grid + ``atomicAdd`` scatter
+    (``svm_kernel.cu:17-88``) with race-free sequential-grid accumulation.
+    """
+    D, f = X.shape
+    dtype = X.dtype
+
+    Dp, fp = _round_up(D, bm), _round_up(f, 128)
+    bk = min(bk, fp)
+    fp = _round_up(fp, bk)
+    if (Dp, fp) != (D, f):
+        X = jnp.zeros((Dp, fp), dtype).at[:D, :f].set(X)
+    v_pad = v if Dp == D else jnp.zeros((Dp,), v.dtype).at[:D].set(v)
+
+    nI, nK = Dp // bm, fp // bk
+    # lower-triangular pair enumeration (static: shapes are compile-time)
+    tri_i, tri_j = np.tril_indices(nI)
+    order = np.argsort(tri_i, kind="stable")  # row-major: i fixed, j ascends
+    pi = jnp.asarray(tri_i[order], jnp.int32)
+    pj = jnp.asarray(tri_j[order], jnp.int32)
+    T = int(pi.shape[0])
+
+    sq = jnp.sum(X * X, axis=1, keepdims=True)
+    scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
+
+    # precision tier -> MXU strategy (exact f32 emulation is ~11x slower
+    # than a bf16 pass on v5e; HIGH = manual 3-pass split-bf16)
+    if precision in (lax.Precision.HIGH,) and dtype == jnp.float32:
+        decomp = "bf16x3"
+    else:
+        decomp = "exact"
+
+    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pi[t], k))
+    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pj[t], k))
+    if decomp == "bf16x3":
+        X_hi, X_lo = _split_bf16(X)
+        x_operands = (X_hi, X_hi, X_lo, X_lo)
+        x_specs = [x_spec, y_spec, x_spec, y_spec]
+    else:
+        x_operands = (X, X)
+        x_specs = [x_spec, y_spec]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T, nK),
+        in_specs=x_specs + [
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
+            pl.BlockSpec((1, 8, bm), lambda t, k, s, pi, pj: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bm), jnp.float32)],
+    )
+
+    out1, out2 = pl.pallas_call(
+        functools.partial(
+            _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
+            precision=precision, decomp=decomp,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Dp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, bm), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
+            bytes_accessed=(2 * T * bm * fp + 3 * Dp + T * bm) * dtype.itemsize,
+            transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
+        ),
+        interpret=interpret,
+    )(scalars, pi, pj, *x_operands, v_pad[:, None], v_pad[:, None], sq, sq)
+
+    # segment-sum the transpose contributions per column block; a static
+    # one-hot matmul instead of a scatter-add (TPU scatters serialize)
+    P = jnp.asarray(
+        (tri_j[order][None, :] == np.arange(nI)[:, None]).astype(np.float32)
+    )  # (nI, T)
+    out2_sum = jnp.dot(
+        P, out2[:, 0, :], preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    return (out1[:, 0] + out2_sum.reshape(Dp))[:D].astype(dtype)
+
+
+def gram_matvec_pallas_auto(
+    kernel: KernelType,
+    X,
+    v,
+    *,
+    degree: int = 3,
+    gamma=1.0,
+    coef0=0.0,
+    interpret: bool = False,
+):
+    """Pick the symmetric kernel when it applies (square K(X,X), per-pair
+    buffer within budget), else the full kernel."""
+    D = X.shape[0]
+    bm = ROW_BLOCK_SIZE
+    nI = _round_up(D, bm) // bm
+    t_bytes = (nI * (nI + 1) // 2) * 8 * bm * 4
+    if symmetric_enabled() and t_bytes <= _sym_out2_budget_bytes():
+        return gram_matvec_pallas_sym(
+            kernel, X, v, degree=degree, gamma=gamma, coef0=coef0,
+            interpret=interpret,
+        )
+    return gram_matvec_pallas(
+        kernel, X, v, degree=degree, gamma=gamma, coef0=coef0, interpret=interpret,
+    )
