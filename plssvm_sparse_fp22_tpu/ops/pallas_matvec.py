@@ -197,6 +197,8 @@ def gram_matvec_pallas(
     decomp = "bf16x3" if (
         precision == lax.Precision.HIGH and dtype == jnp.float32
     ) else "exact"
+    if decomp == "exact" and precision == lax.Precision.HIGH:
+        precision = lax.Precision.HIGHEST  # Mosaic has no HIGH dot lowering
     # index maps receive the scalar-prefetch ref as a trailing arg
     x_spec = pl.BlockSpec((bm, bk), lambda i, j, k, s: (i, k))
     y_spec = pl.BlockSpec((bn, bk), lambda i, j, k, s: (j, k))
@@ -402,6 +404,8 @@ def gram_matvec_pallas_sym(
         decomp = "bf16x3"
     else:
         decomp = "exact"
+        if precision == lax.Precision.HIGH:
+            precision = lax.Precision.HIGHEST  # Mosaic has no HIGH dot lowering
 
     x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pi[t], k))
     y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pj[t], k))

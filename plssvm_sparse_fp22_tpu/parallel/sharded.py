@@ -57,7 +57,8 @@ def _psum_dot(a, b):
 
 
 def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
-                        degree, gamma, coef0, mode, K_loc=None):
+                        degree, gamma, coef0, mode, K_loc=None,
+                        use_pallas=False):
     """Per-shard A@v: v_loc (D/p,) -> (A v)_loc (D/p,), collectives inside."""
     dtype = X_loc.dtype
     num = lax.axis_size(DATA_AXIS)
@@ -89,17 +90,35 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
 
     elif mode == "implicit":
         sq_loc = jnp.sum(X_loc * X_loc, axis=1)
-        my_idx = lax.axis_index(DATA_AXIS)
         right = [(i, (i + 1) % num) for i in range(num)]
 
-        def matvec(v_loc):
-            def step(carry, _):
-                X_buf, sq_buf, v_buf, acc = carry
+        if use_pallas:
+            from ..ops.pallas_matvec import gram_matvec_pallas
+
+            interpret = jax.default_backend() != "tpu"
+
+            def block_product(X_buf, sq_buf, v_buf):
+                # fused Pallas Gram-matvec against the in-flight ring block;
+                # K(X_loc, X_buf) never hits HBM
+                return gram_matvec_pallas(
+                    kernel, X_loc, v_buf, degree=degree, gamma=gamma,
+                    coef0=coef0, Y=X_buf, interpret=interpret,
+                ).astype(dtype)
+
+        else:
+
+            def block_product(X_buf, sq_buf, v_buf):
                 Kblk = gram_block(
                     kernel, X_loc, X_buf, degree, gamma, coef0,
                     Xi_sqnorm=sq_loc, Xj_sqnorm=sq_buf,
                 )
-                acc = acc + jnp.dot(Kblk, v_buf, preferred_element_type=dtype, precision=PRECISION)
+                return jnp.dot(Kblk, v_buf, preferred_element_type=dtype,
+                               precision=PRECISION)
+
+        def matvec(v_loc):
+            def step(carry, _):
+                X_buf, sq_buf, v_buf, acc = carry
+                acc = acc + block_product(X_buf, sq_buf, v_buf)
                 X_buf = lax.ppermute(X_buf, DATA_AXIS, right)
                 sq_buf = lax.ppermute(sq_buf, DATA_AXIS, right)
                 v_buf = lax.ppermute(v_buf, DATA_AXIS, right)
@@ -148,13 +167,19 @@ def _cg_sharded(matvec, b_loc, mask_loc, eps, imax):
     return x, k, delta, delta0
 
 
-def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str):
+def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
+                       use_pallas: bool | None = None):
     """Build the jitted multi-chip learn step for a given mesh/config.
 
     Returns ``fn(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax)
     -> (x, s, t, QA_cost, iterations, delta, delta0)`` where the (D, f) data
     and (D,) vectors are sharded over the mesh's data axis.
+
+    ``use_pallas`` switches the implicit ring step to the fused Pallas
+    Gram-matvec kernel per hop (default: on when running on real TPUs).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and mode == "implicit"
 
     @partial(
         jax.shard_map,
@@ -162,6 +187,8 @@ def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str):
         in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
                   P(), P(), P(), P(), P()),
         out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+        # pallas_call results carry no varying-mesh-axes metadata yet
+        check_vma=False,
     )
     def run(X_loc, x_last, b_loc, mask_loc, gamma, coef0, cost, eps, imax):
         dtype = X_loc.dtype
@@ -181,7 +208,7 @@ def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str):
 
         matvec = _build_local_matvec(
             kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
-            degree, gamma, coef0, mode, K_loc=K_loc,
+            degree, gamma, coef0, mode, K_loc=K_loc, use_pallas=use_pallas,
         )
         x_loc, iters, delta, delta0 = _cg_sharded(matvec, b_loc, mask_loc, eps, imax)
 

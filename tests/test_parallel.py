@@ -76,6 +76,29 @@ def test_sharded_learn_matches_single_device(kernel, mode, ndev):
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_implicit_pallas_ring(ndev):
+    """The ring implicit mode with the fused Pallas kernel per hop
+    (interpret mode on CPU) matches the numpy oracle."""
+    X, y, X_pad, b_pad, mask, dept = _padded_system()
+    eps, imax, cost = 1e-6, 60, 2.0
+    mesh = make_mesh(ndev)
+    learn = make_sharded_learn(mesh, KernelType.rbf, HYPER["degree"],
+                               "implicit", use_pallas=True)
+    Xs, bs, ms = shard_system(mesh, X_pad, b_pad, mask)
+    x_sh, s, t, QA, iters, delta, delta0 = learn(
+        Xs, jnp.asarray(X[-1]), bs, ms,
+        jnp.float64(HYPER["gamma"]), jnp.float64(HYPER["coef0"]),
+        jnp.float64(cost), jnp.float64(eps), jnp.int32(imax),
+    )
+    alpha_ref, bias_ref, info = oracle.solve_lssvm(
+        X, y, kernel=KernelType.rbf, cost=cost, epsilon=eps, max_iter=imax,
+        **HYPER,
+    )
+    np.testing.assert_allclose(np.asarray(x_sh)[:dept], alpha_ref[:dept],
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_matvec_determinism(ndev):
     """Same mesh, same inputs -> bitwise identical results across calls
     (deterministic psum ordering; SURVEY.md §7 hard part (a))."""

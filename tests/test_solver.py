@@ -96,6 +96,56 @@ def test_matvec_matches_explicit_matrix(kernel, mode):
 
 
 @pytest.mark.parametrize("kernel", KERNELS)
+@pytest.mark.parametrize("shape", [(64, 7), (96, 33), (40, 5)])
+def test_sym_pallas_kernel_matches_oracle(kernel, shape):
+    """The symmetric (triangular block-pair) Pallas kernel == full Gram
+    matvec, including non-block-aligned shapes (interpret mode off-TPU)."""
+    from plssvm_sparse_fp22_tpu.ops.pallas_matvec import gram_matvec_pallas_sym
+
+    D, f = shape
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(D, f))
+    v = rng.normal(size=D)
+    want = oracle.kernel_matrix(kernel, X, X, **HYPER) @ v
+    got = np.asarray(
+        gram_matvec_pallas_sym(
+            kernel, jnp.asarray(X, np.float32), jnp.asarray(v, np.float32),
+            bm=32, bk=128, interpret=True, **HYPER,
+        )
+    )
+    # default tier is bf16x3: ~1e-4 error relative to the result scale
+    np.testing.assert_allclose(got, want, rtol=1e-3,
+                               atol=3e-4 * np.max(np.abs(want)))
+
+
+def test_sym_pallas_precision_tiers():
+    """All MXU tiers of the symmetric kernel agree with the oracle within
+    their documented accuracy (exact < bf16x3 <= bf16)."""
+    from jax import lax
+
+    from plssvm_sparse_fp22_tpu.ops.pallas_matvec import gram_matvec_pallas_sym
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(64, 16))
+    v = rng.normal(size=64)
+    want = oracle.kernel_matrix(KernelType.rbf, X, X, **HYPER) @ v
+    scale = np.max(np.abs(want))
+    for prec, tol in [
+        (lax.Precision.HIGHEST, 1e-5),
+        (lax.Precision.HIGH, 1e-3),
+        (lax.Precision.DEFAULT, 3e-2),
+    ]:
+        got = np.asarray(
+            gram_matvec_pallas_sym(
+                KernelType.rbf, jnp.asarray(X, np.float32),
+                jnp.asarray(v, np.float32), bm=32, bk=128, interpret=True,
+                precision=prec, **HYPER,
+            )
+        )
+        assert np.max(np.abs(got - want)) / scale < tol, prec
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
 def test_cg_matches_oracle(kernel):
     """Full CG trajectory: same iteration count, solution, residuals."""
     X, y, X_pad, mask, dept, D, cost = _setup_system(n=49, f=16)
