@@ -17,7 +17,8 @@ reference publishes no benchmark numbers (BASELINE.md), so the its
 algorithm-on-CPU is the honest comparable.
 
 Environment knobs: PLSSVM_BENCH_N (default 4096), PLSSVM_BENCH_F (256),
-PLSSVM_BENCH_ITERS (32), PLSSVM_BENCH_MODE (implicit).
+PLSSVM_BENCH_ITERS (256; the lo/hi iteration span must dwarf per-dispatch
+timing noise of the remote-TPU relay), PLSSVM_BENCH_MODE (implicit).
 """
 
 import json
@@ -79,13 +80,19 @@ def _bench_jax(X, gamma, iters, mode, backend_name):
     lo, hi = max(4, iters // 4), iters
     run(0, lo)  # compile both iteration counts (same program: imax is traced)
     per_iter = float("inf")
-    for trial in range(3):
+    samples = []
+    for trial in range(5):
         t_lo = run(100 + trial, lo)
         t_hi = run(200 + trial, hi)
         if t_hi > t_lo:
-            per_iter = min(per_iter, (t_hi - t_lo) / (hi - lo))
-    if not np.isfinite(per_iter):
+            samples.append((t_hi - t_lo) / (hi - lo))
+    if not samples:
         per_iter = run(300, hi) / hi
+    else:
+        # median: robust against relay dispatch-latency outliers in either
+        # direction (a min would keep noise-deflated samples)
+        samples.sort()
+        per_iter = samples[len(samples) // 2]
     return 1.0 / per_iter
 
 
@@ -124,7 +131,7 @@ def main():
 
     n = int(os.environ.get("PLSSVM_BENCH_N", 4096))
     f = int(os.environ.get("PLSSVM_BENCH_F", 256))
-    iters = int(os.environ.get("PLSSVM_BENCH_ITERS", 32))
+    iters = int(os.environ.get("PLSSVM_BENCH_ITERS", 256))
     mode = os.environ.get("PLSSVM_BENCH_MODE", "implicit")
     gamma = 1.0 / f
 

@@ -32,6 +32,11 @@ COL_BLOCK_SIZE: int = _env_int("PLSSVM_COL_BLOCK_SIZE", 256)
 #: feature-axis tile streamed through VMEM per MXU pass.
 FEATURE_BLOCK_SIZE: int = _env_int("PLSSVM_FEATURE_BLOCK_SIZE", 512)
 
+#: square block of the symmetric (triangular block-pair) Pallas kernel.
+#: 512 measured fastest on v5e (136 us/matvec at 4096x256 rbf, bf16x3 tier;
+#: 256 -> ~147 us, 1024 -> ~145 us).
+SYM_BLOCK_SIZE: int = _env_int("PLSSVM_SYM_BLOCK_SIZE", 512)
+
 #: padding applied to the CG system size so every Pallas/XLA block is full.
 #: Analog of ``boundary_size_ = THREAD_BLOCK_SIZE * INTERNAL_BLOCK_SIZE``
 #: (``gpu_csvm.cpp:133``); 128-lane aligned here.

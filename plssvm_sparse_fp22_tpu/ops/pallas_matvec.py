@@ -41,7 +41,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE, ROW_BLOCK_SIZE
+from ..constants import (COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE,
+                         ROW_BLOCK_SIZE, SYM_BLOCK_SIZE)
 from ..types import KernelType
 from .kernel_functions import PRECISION  # noqa: F401  (re-exported)
 
@@ -256,6 +257,10 @@ def _split_bf16(X):
     return hi, lo
 
 
+# same split for in-kernel (VMEM-resident) values — VPU-only, a few ops/elem
+_split_bf16_vmem = _split_bf16
+
+
 def _sym_out2_budget_bytes() -> int:
     """HBM budget for the per-pair transpose-contribution buffer; beyond it
     the full (non-triangular) kernel is used instead."""
@@ -329,21 +334,44 @@ def _gram_matvec_sym_kernel(
         gamma = scalars_ref[0]
         coef0 = scalars_ref[1]
         K = _transform(kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0)
-        # the epilogue GEMVs are a negligible FLOP fraction — always exact
-        Kv = jnp.dot(
-            K, vj_ref[:].astype(K.dtype),
-            preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
-        )
+        if decomp == "bf16x3":
+            # split-bf16 epilogue too: exact-f32 GEMVs cost ~11 MXU passes
+            K_hi, K_lo = _split_bf16_vmem(K)
+            vj_hi, vj_lo = _split_bf16_vmem(vj_ref[:].astype(jnp.float32))
+            vi_hi, vi_lo = _split_bf16_vmem(vi_ref[:].astype(jnp.float32))
+            dd = lax.Precision.DEFAULT
+            Kv = (
+                jnp.dot(K_hi, vj_hi, preferred_element_type=jnp.float32, precision=dd)
+                + jnp.dot(K_hi, vj_lo, preferred_element_type=jnp.float32, precision=dd)
+                + jnp.dot(K_lo, vj_hi, preferred_element_type=jnp.float32, precision=dd)
+            )
+        else:
+            Kv = jnp.dot(
+                K, vj_ref[:].astype(K.dtype),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
         out1_ref[:] += Kv.astype(out1_ref.dtype)
         # transpose contribution K^T v_i = (v_i^T K)^T, owned by column block
         # pj[t]; written once per pair (no revisits, no atomics — the analog
         # of the reference's atomicAdd symmetric scatter, svm_kernel.cu:74,85)
-        vK = lax.dot_general(
-            vi_ref[:].astype(K.dtype), K,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )  # (1, BM)
+        tdims = (((0,), (0,)), ((), ()))
+        if decomp == "bf16x3":
+            dd = lax.Precision.DEFAULT
+            vK = (
+                lax.dot_general(vi_hi, K_hi, tdims,
+                                preferred_element_type=jnp.float32, precision=dd)
+                + lax.dot_general(vi_hi, K_lo, tdims,
+                                  preferred_element_type=jnp.float32, precision=dd)
+                + lax.dot_general(vi_lo, K_hi, tdims,
+                                  preferred_element_type=jnp.float32, precision=dd)
+            )
+        else:
+            vK = lax.dot_general(
+                vi_ref[:].astype(K.dtype), K, tdims,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )  # (1, BM)
         bm = vK.shape[1]
         rows = lax.broadcasted_iota(jnp.int32, (8, bm), 0)
         keep = jnp.logical_and(rows == 0, i != j)
@@ -362,7 +390,7 @@ def gram_matvec_pallas_sym(
     degree: int = 3,
     gamma=1.0,
     coef0=0.0,
-    bm: int = ROW_BLOCK_SIZE,
+    bm: int = SYM_BLOCK_SIZE,
     bk: int = FEATURE_BLOCK_SIZE,
     interpret: bool = False,
     precision=PALLAS_PRECISION,
@@ -476,7 +504,7 @@ def gram_matvec_pallas_auto(
     """Pick the symmetric kernel when it applies (square K(X,X), per-pair
     buffer within budget), else the full kernel."""
     D = X.shape[0]
-    bm = ROW_BLOCK_SIZE
+    bm = SYM_BLOCK_SIZE
     nI = _round_up(D, bm) // bm
     t_bytes = (nI * (nI + 1) // 2) * 8 * bm * 4
     if symmetric_enabled() and t_bytes <= _sym_out2_budget_bytes():
