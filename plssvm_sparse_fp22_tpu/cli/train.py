@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sparse_threshold", type=float, default=0.25,
                         help="keep data in CSR when its density is at or below "
                              "this fraction (0 disables the sparse path, 1 forces it)")
+    parser.add_argument("--precond", choices=["none", "jacobi"], default="none",
+                        help="CG preconditioner (jacobi cuts iterations on "
+                             "ill-conditioned systems; same stopping criterion)")
     parser.add_argument("-q", "--quiet", action="store_true", help="quiet mode (no outputs)")
     parser.add_argument("-h", "--help", action="help", help="print this helper message")
     parser.add_argument("input", metavar="training_set_file")
@@ -126,6 +129,7 @@ def main(argv=None) -> int:
         verbose_cg=args.verbose_cg,
         checkpoint_path=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
+        precond=args.precond,
     )
 
     try:

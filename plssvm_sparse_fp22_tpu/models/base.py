@@ -40,9 +40,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+def _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0):
+    """Inverse diagonal of the implicit matrix:
+    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j)."""
+    dtype = X_pad.dtype
+    sq = jnp.sum(X_pad * X_pad, axis=1)
+    if kernel == KernelType.linear:
+        kii = sq
+    elif kernel == KernelType.polynomial:
+        kii = (gamma * sq + coef0) ** degree
+    else:  # rbf: k(x, x) = 1
+        kii = jnp.ones_like(sq)
+    diag = kii + QA_cost - 2.0 * q + cost_inv
+    # A is SPD so diag > 0; guard against FP underflow on degenerate rows
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    return mask / jnp.maximum(diag, tiny)
+
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
 def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
-               *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+               *, kernel: KernelType, degree: int, mode: str, backend: BackendType,
+               precond: str = "none"):
     """One traced program: q-vector + QA_cost + operator + full CG solve."""
     dtype = X_pad.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
@@ -56,16 +74,21 @@ def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
         kernel, X_pad, q, mask, QA_cost, cost_inv,
         degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
     )
-    res = cg_solve(op.matvec, b_pad, mask, eps, imax)
+    minv = None
+    if precond == "jacobi":
+        minv = _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv,
+                            degree, gamma, coef0)
+    res = cg_solve(op.matvec, b_pad, mask, eps, imax, minv=minv)
 
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
 def _cg_setup_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost,
-                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType,
+                  precond: str = "none"):
     """q-vector, QA_cost, and the initial CG state (checkpointed learn)."""
     dtype = X_pad.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
@@ -75,14 +98,19 @@ def _cg_setup_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost,
         kernel, X_pad, q, mask, QA_cost, cost_inv,
         degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
     )
-    state = cg_init(op.matvec, b_pad, mask)
+    minv = None
+    if precond == "jacobi":
+        minv = _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv,
+                            degree, gamma, coef0)
+    state = cg_init(op.matvec, b_pad, mask, minv=minv)
     return q, QA_cost, state
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend"))
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
 def _cg_chunk_jit(X_pad, b_pad, mask, q, QA_cost, gamma, coef0, cost, eps, imax_end,
                   state,
-                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType):
+                  *, kernel: KernelType, degree: int, mode: str, backend: BackendType,
+                  precond: str = "none"):
     """Run CG until ``imax_end`` total iterations (or convergence)."""
     dtype = X_pad.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
@@ -90,7 +118,11 @@ def _cg_chunk_jit(X_pad, b_pad, mask, q, QA_cost, gamma, coef0, cost, eps, imax_
         kernel, X_pad, q, mask, QA_cost, cost_inv,
         degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
     )
-    return cg_run(op.matvec, b_pad, mask, eps, imax_end, state)
+    minv = None
+    if precond == "jacobi":
+        minv = _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv,
+                            degree, gamma, coef0)
+    return cg_run(op.matvec, b_pad, mask, eps, imax_end, state, minv=minv)
 
 
 @partial(jax.jit, static_argnames=("kernel", "degree", "use_pallas"))
@@ -274,6 +306,7 @@ class CSVM:
             jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
             jnp.asarray(imax, jnp.int32),
             kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
+            precond=str(self.params.precond),
         )
         return mode, out
 
@@ -308,6 +341,7 @@ class CSVM:
             q, QA_cost, state = _cg_setup_jit(
                 Xd, jnp.asarray(x_last), bd, md, *scalars,
                 kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
+                precond=str(self.params.precond),
             )
 
         eps = jnp.asarray(self.epsilon, self.dtype)
@@ -324,7 +358,7 @@ class CSVM:
             state = _cg_chunk_jit(
                 Xd, bd, md, q, QA_cost, *scalars, eps, jnp.asarray(end, jnp.int32),
                 state, kernel=self.kernel, degree=self.degree, mode=mode,
-                backend=self.backend,
+                backend=self.backend, precond=str(self.params.precond),
             )
             if path is not None:
                 save_cg_checkpoint(path, state, q, QA_cost, meta)

@@ -76,6 +76,11 @@ class Parameter:
     #: per iteration, so it is opt-in here
     verbose_cg: bool = False
 
+    #: CG preconditioner: "none" (reference semantics) or "jacobi"
+    #: (diagonal-preconditioned CG; capability extension — cuts iterations on
+    #: ill-conditioned systems while keeping the same stopping criterion)
+    precond: str = "none"
+
     # ------------------------------------------------------------------ files
 
     def model_name_from_input(self) -> str:

@@ -60,26 +60,35 @@ def cg_solve(
     eps,
     imax,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
+    minv: jnp.ndarray | None = None,
 ) -> CGResult:
     """Solve ``A x = b`` on the padded system.
 
     ``b`` and ``mask`` are (D,) with zero padding; ``matvec`` must preserve
     zero padding.  ``eps`` and ``imax`` may be traced scalars so tolerance /
     cap changes do not recompile.
+
+    ``minv`` enables preconditioned CG with the diagonal preconditioner
+    ``M^-1 = minv`` (zero on padding entries).  The stopping criterion stays
+    on the *unpreconditioned* residual ``r.r <= eps^2 * (r0.r0)`` so
+    tolerance semantics match the reference's plain CG
+    (``gpu_csvm.cpp:293``); a capability extension, not present upstream.
     """
-    state = cg_init(matvec, b, mask)
-    state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval)
+    state = cg_init(matvec, b, mask, minv)
+    state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval, minv)
     return CGResult(x=state.x, iterations=state.k, delta=state.delta, delta0=state.delta0)
 
 
-def cg_init(matvec: Callable, b: jnp.ndarray, mask: jnp.ndarray) -> CGState:
+def cg_init(matvec: Callable, b: jnp.ndarray, mask: jnp.ndarray,
+            minv: jnp.ndarray | None = None) -> CGState:
     """Initial CG state: x = 1 on valid entries, r = b - A x
-    (``gpu_csvm.cpp:192-223``)."""
+    (``gpu_csvm.cpp:192-223``).  With ``minv``: d0 = M^-1 r0 (PCG)."""
     dtype = b.dtype
     x0 = mask.astype(dtype)
     r0 = b - matvec(x0)
     delta0 = _dot(r0, r0)
-    return CGState(k=jnp.int32(0), x=x0, r=r0, d=r0, delta=delta0, delta0=delta0)
+    d0 = r0 if minv is None else minv * r0
+    return CGState(k=jnp.int32(0), x=x0, r=r0, d=d0, delta=delta0, delta0=delta0)
 
 
 def cg_run(
@@ -90,11 +99,17 @@ def cg_run(
     imax,
     state: CGState,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
+    minv: jnp.ndarray | None = None,
 ) -> CGState:
     """Continue CG from ``state`` until convergence or ``imax`` total
     iterations.  Pass ``imax = min(state.k + chunk, total)`` to run a
     checkpointable chunk; the iteration counter keeps the 50-step residual
-    refresh aligned across resumes."""
+    refresh aligned across resumes.
+
+    With ``minv`` the loop is diagonal-preconditioned CG; ``state.delta``
+    always stores the plain residual norm ``r.r`` so stop semantics,
+    logging, and checkpoints are identical to the unpreconditioned path.
+    """
     dtype = b.dtype
     eps = jnp.asarray(eps, dtype)
     imax = jnp.asarray(imax, jnp.int32)
@@ -105,7 +120,10 @@ def cg_run(
 
     def body(s: CGState):
         Ad = matvec(s.d)
-        alpha = s.delta / _dot(s.d, Ad)
+        # PCG step scalars come from r.z, not r.r; recomputing r.z from the
+        # stored r keeps CGState (and checkpoints) identical for both paths
+        rz = s.delta if minv is None else _dot(s.r, minv * s.r)
+        alpha = rz / _dot(s.d, Ad)
         x = s.x + alpha * s.d
 
         def refresh(_):
@@ -118,8 +136,13 @@ def cg_run(
             s.k % refresh_interval == refresh_interval - 1, refresh, update, None
         )
         delta_new = _dot(r_new, r_new)
-        beta = delta_new / s.delta
-        d_new = beta * s.d + r_new
+        if minv is None:
+            beta = delta_new / s.delta
+            d_new = beta * s.d + r_new
+        else:
+            z_new = minv * r_new
+            beta = _dot(r_new, z_new) / rz
+            d_new = beta * s.d + z_new
         return CGState(k=s.k + 1, x=x, r=r_new, d=d_new, delta=delta_new,
                        delta0=s.delta0)
 
