@@ -78,6 +78,27 @@ def main():
         best = max(results)
         print(f"best: bm={best[1]} bn={best[2]} bk={best[3]} -> {best[0]:.2f} TFLOP/s")
 
+    # --- symmetric (triangular) kernel sweep: the training hot path ---
+    from plssvm_sparse_fp22_tpu.ops.pallas_matvec import gram_matvec_pallas_sym
+
+    print("symmetric kernel (effective TFLOP/s counts the full n^2 product):")
+    sym_results = []
+    for bm in (256, 512, 1024):
+        try:
+            dt = timeit(lambda vv, bm=bm: gram_matvec_pallas_sym(
+                KernelType.rbf, X, vv, degree=3, gamma=1.0 / f, coef0=0.0,
+                bm=bm, bk=min(512, f),
+            ))
+            tf = flops / dt / 1e12
+            sym_results.append((tf, bm))
+            print(f"  bm={bm:5d}: {dt*1e3:8.2f} ms  {tf:6.2f} eff-TFLOP/s", flush=True)
+        except Exception as e:
+            print(f"  bm={bm:5d}: FAILED {type(e).__name__}", flush=True)
+    if sym_results:
+        best = max(sym_results)
+        print(f"best sym: bm={best[1]} -> {best[0]:.2f} eff-TFLOP/s "
+              f"(set PLSSVM_SYM_BLOCK_SIZE={best[1]})")
+
     # --- cached-mode GEMV roofline (HBM-bound) ---
     K = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32))
 
