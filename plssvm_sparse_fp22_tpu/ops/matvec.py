@@ -130,20 +130,30 @@ def build_operator(
         if backend == BackendType.pallas:
             import jax as _jax
 
-            from .pallas_matvec import gram_matvec_pallas_auto
+            from .pallas_matvec import (gram_matvec_pallas, make_sym_matvec,
+                                        symmetric_enabled)
 
             # Mosaic kernels need real TPU hardware; interpret elsewhere
             interpret = _jax.default_backend() != "tpu"
 
-            def matvec(v):
-                # symmetric (triangular block-pair) kernel when it applies:
-                # ~2x fewer MXU FLOPs, the analog of the reference's
-                # triangular grid (svm_kernel.cu:26)
-                Kv = gram_matvec_pallas_auto(
-                    kernel, X_pad, v, degree=degree, gamma=gamma, coef0=coef0,
+            if symmetric_enabled():
+                # symmetric (triangular block-pair) kernel: ~2x fewer MXU
+                # FLOPs, the analog of the reference's triangular grid
+                # (svm_kernel.cu:26).  Built ONCE so padding / bf16 split /
+                # sqnorms are hoisted out of the CG loop.
+                kv_fn = make_sym_matvec(
+                    kernel, X_pad, degree=degree, gamma=gamma, coef0=coef0,
                     interpret=interpret,
                 )
-                return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
+            else:
+                def kv_fn(v):
+                    return gram_matvec_pallas(
+                        kernel, X_pad, v, degree=degree, gamma=gamma,
+                        coef0=coef0, interpret=interpret,
+                    )
+
+            def matvec(v):
+                return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)
 
         else:
             sqnorms = jnp.sum(X_pad * X_pad, axis=1)

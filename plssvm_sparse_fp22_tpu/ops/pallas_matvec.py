@@ -257,18 +257,21 @@ def _split_bf16(X):
     return hi, lo
 
 
-# same split for in-kernel (VMEM-resident) values — VPU-only, a few ops/elem
-_split_bf16_vmem = _split_bf16
-
-
-def _sym_out2_budget_bytes() -> int:
-    """HBM budget for the per-pair transpose-contribution buffer; beyond it
-    the full (non-triangular) kernel is used instead."""
-    return int(os.environ.get("PLSSVM_SYM_SCRATCH_BYTES", 1 * 1024**3))
-
-
 def symmetric_enabled() -> bool:
     return os.environ.get("PLSSVM_PALLAS_SYMMETRIC", "1") not in ("0", "off", "false")
+
+
+def _transform_rowsq(kernel: KernelType, G, sqi, sqj_row, degree, gamma, coef0):
+    """Like :func:`_transform` but with ``sqj`` already in row layout
+    ``(1, BN)`` — avoids an in-kernel transpose."""
+    if kernel == KernelType.linear:
+        return G
+    if kernel == KernelType.polynomial:
+        return lax.integer_pow(gamma * G + coef0, degree)
+    if kernel == KernelType.rbf:
+        sq = sqi + sqj_row - 2.0 * G
+        return jnp.exp(-gamma * jnp.maximum(sq, 0.0))
+    raise ValueError(f"unknown kernel {kernel}")
 
 
 def _gram_matvec_sym_kernel(
@@ -276,8 +279,8 @@ def _gram_matvec_sym_kernel(
     pi_ref,  # SMEM (T,): row-block index of pair t
     pj_ref,  # SMEM (T,): col-block index of pair t (pj <= pi)
     *refs,
-    # exact:  xi, xj, vj, vi, sqi, sqj, out1, out2, acc
-    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj, vi, sqi, sqj, out1, out2, acc
+    # exact:  xi, xj, vj_row, vi_col, sqi, sqj_row, out1, out2, acc
+    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj_row, vi_col, sqi, sqj_row, out1, out2, acc
     kernel: KernelType,
     degree: int,
     nk: int,
@@ -296,6 +299,14 @@ def _gram_matvec_sym_kernel(
     k = pl.program_id(1)
     i = pi_ref[t]
     j = pj_ref[t]
+
+    # out2 holds the WHOLE transpose-side output vector, (nIp, bm) in VMEM
+    # for the entire grid (its block index never changes) — the analog of the
+    # reference's atomicAdd symmetric scatter (svm_kernel.cu:74,85), race-free
+    # because the TPU grid is sequential
+    @pl.when(jnp.logical_and(t == 0, k == 0))
+    def _():
+        out2_ref[:] = jnp.zeros_like(out2_ref)
 
     # out1 block pi[t] stays resident while i is fixed (j sweeps 0..i);
     # initialize it at the first pair of each row
@@ -333,59 +344,27 @@ def _gram_matvec_sym_kernel(
     def _():
         gamma = scalars_ref[0]
         coef0 = scalars_ref[1]
-        K = _transform(kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0)
-        if decomp == "bf16x3":
-            # split-bf16 epilogue too: exact-f32 GEMVs cost ~11 MXU passes
-            K_hi, K_lo = _split_bf16_vmem(K)
-            vj_hi, vj_lo = _split_bf16_vmem(vj_ref[:].astype(jnp.float32))
-            vi_hi, vi_lo = _split_bf16_vmem(vi_ref[:].astype(jnp.float32))
-            dd = lax.Precision.DEFAULT
-            Kv = (
-                jnp.dot(K_hi, vj_hi, preferred_element_type=jnp.float32, precision=dd)
-                + jnp.dot(K_hi, vj_lo, preferred_element_type=jnp.float32, precision=dd)
-                + jnp.dot(K_lo, vj_hi, preferred_element_type=jnp.float32, precision=dd)
-            )
-        else:
-            Kv = jnp.dot(
-                K, vj_ref[:].astype(K.dtype),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
-        out1_ref[:] += Kv.astype(out1_ref.dtype)
-        # transpose contribution K^T v_i = (v_i^T K)^T, owned by column block
-        # pj[t]; written once per pair (no revisits, no atomics — the analog
-        # of the reference's atomicAdd symmetric scatter, svm_kernel.cu:74,85)
-        tdims = (((0,), (0,)), ((), ()))
-        if decomp == "bf16x3":
-            dd = lax.Precision.DEFAULT
-            vK = (
-                lax.dot_general(vi_hi, K_hi, tdims,
-                                preferred_element_type=jnp.float32, precision=dd)
-                + lax.dot_general(vi_hi, K_lo, tdims,
-                                  preferred_element_type=jnp.float32, precision=dd)
-                + lax.dot_general(vi_lo, K_hi, tdims,
-                                  preferred_element_type=jnp.float32, precision=dd)
-            )
-        else:
-            vK = lax.dot_general(
-                vi_ref[:].astype(K.dtype), K, tdims,
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )  # (1, BM)
-        bm = vK.shape[1]
-        rows = lax.broadcasted_iota(jnp.int32, (8, bm), 0)
-        keep = jnp.logical_and(rows == 0, i != j)
-        out2_ref[0] = jnp.where(keep, jnp.broadcast_to(vK, (8, bm)), 0.0)
+        K = _transform_rowsq(
+            kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0
+        )
+        # epilogue matvecs on the VPU: broadcast-multiply + lane/sublane
+        # reductions are exact f32 and a negligible FLOP fraction — no MXU
+        # GEMV passes, no bf16 splits
+        vj = vj_ref[:]  # (1, bm)
+        out1_ref[:] += jnp.sum(K * vj, axis=1, keepdims=True)
+        # transpose contribution K^T v_i accumulated into row j of the
+        # resident out2 vector (masked add; skipped on diagonal pairs)
+        vi = vi_ref[:]  # (bm, 1)
+        vK = jnp.sum(K * vi, axis=0, keepdims=True)  # (1, bm)
+        nIp, bm = out2_ref.shape
+        rows = lax.broadcasted_iota(jnp.int32, (nIp, bm), 0)
+        keep = jnp.logical_and(rows == j, i != j)
+        out2_ref[:] += jnp.where(keep, jnp.broadcast_to(vK, (nIp, bm)), 0.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kernel", "degree", "bm", "bk", "interpret", "precision"),
-)
-def gram_matvec_pallas_sym(
+def make_sym_matvec(
     kernel: KernelType,
-    X,  # (D, f) row-padded data, D divisible by bm
-    v,  # (D,)
+    X,  # (D, f) row-padded data
     *,
     degree: int = 3,
     gamma=1.0,
@@ -395,15 +374,23 @@ def gram_matvec_pallas_sym(
     interpret: bool = False,
     precision=PALLAS_PRECISION,
 ):
-    """K(X, X) @ v exploiting Gram symmetry: only lower-triangular block
-    pairs are computed (~2x fewer MXU FLOPs than :func:`gram_matvec_pallas`).
+    """Build ``v -> K(X, X) @ v`` exploiting Gram symmetry: only
+    lower-triangular block pairs are computed (~2x fewer MXU FLOPs than
+    :func:`gram_matvec_pallas`).
+
+    All loop-invariant preparation — boundary padding, the bf16 hi/lo
+    mantissa split, squared norms, and the triangular pair tables — happens
+    ONCE here, outside the returned closure, so a CG loop that calls the
+    closure every iteration pays only for the Pallas kernel itself (the
+    analog of the reference staging ``data_d_`` once in
+    ``setup_data_on_device``, ``gpu_csvm.cpp:130-157``).
 
     The grid enumerates pairs ``(i, j), j <= i`` via scalar-prefetched index
     arrays; each pair adds ``f(G_ij) @ v_j`` into the resident row-block
-    output and emits ``f(G_ij)^T @ v_i`` into a per-pair slot that is
-    segment-summed per column block afterwards.  This replaces the
-    reference's triangular grid + ``atomicAdd`` scatter
-    (``svm_kernel.cu:17-88``) with race-free sequential-grid accumulation.
+    output and ``f(G_ij)^T @ v_i`` into a VMEM-resident whole-vector
+    accumulator.  This replaces the reference's triangular grid +
+    ``atomicAdd`` scatter (``svm_kernel.cu:17-88``) with race-free
+    sequential-grid accumulation.
     """
     D, f = X.shape
     dtype = X.dtype
@@ -413,9 +400,9 @@ def gram_matvec_pallas_sym(
     fp = _round_up(fp, bk)
     if (Dp, fp) != (D, f):
         X = jnp.zeros((Dp, fp), dtype).at[:D, :f].set(X)
-    v_pad = v if Dp == D else jnp.zeros((Dp,), v.dtype).at[:D].set(v)
 
     nI, nK = Dp // bm, fp // bk
+    nIp = _round_up(nI, 8)  # sublane-aligned first dim of the out2 block
     # lower-triangular pair enumeration (static: shapes are compile-time)
     tri_i, tri_j = np.tril_indices(nI)
     order = np.argsort(tri_i, kind="stable")  # row-major: i fixed, j ascends
@@ -423,11 +410,12 @@ def gram_matvec_pallas_sym(
     pj = jnp.asarray(tri_j[order], jnp.int32)
     T = int(pi.shape[0])
 
-    sq = jnp.sum(X * X, axis=1, keepdims=True)
+    sq = jnp.sum(X * X, axis=1, keepdims=True)  # (Dp, 1)
+    sq_row = sq.reshape(nI, bm)  # row j of this = sq of column block j
     scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
     # precision tier -> MXU strategy (exact f32 emulation is ~11x slower
-    # than a bf16 pass on v5e; HIGH = manual 3-pass split-bf16)
+    # than a bf16 pass; HIGH = manual 3-pass split-bf16)
     if precision in (lax.Precision.HIGH,) and dtype == jnp.float32:
         decomp = "bf16x3"
     else:
@@ -449,46 +437,69 @@ def gram_matvec_pallas_sym(
         num_scalar_prefetch=3,
         grid=(T, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),
+            pl.BlockSpec((1, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj row
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # vi col
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # sqi
+            pl.BlockSpec((1, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # sqj row
         ],
         out_specs=[
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
-            pl.BlockSpec((1, 8, bm), lambda t, k, s, pi, pj: (t, 0, 0)),
+            pl.BlockSpec((nIp, bm), lambda t, k, s, pi, pj: (0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((bm, bm), jnp.float32)],
     )
 
-    out1, out2 = pl.pallas_call(
-        functools.partial(
-            _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
-            precision=precision, decomp=decomp,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Dp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, 8, bm), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
-            bytes_accessed=(2 * T * bm * fp + 3 * Dp + T * bm) * dtype.itemsize,
-            transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
-        ),
-        interpret=interpret,
-    )(scalars, pi, pj, *x_operands, v_pad[:, None], v_pad[:, None], sq, sq)
-
-    # segment-sum the transpose contributions per column block; a static
-    # one-hot matmul instead of a scatter-add (TPU scatters serialize)
-    P = jnp.asarray(
-        (tri_j[order][None, :] == np.arange(nI)[:, None]).astype(np.float32)
-    )  # (nI, T)
-    out2_sum = jnp.dot(
-        P, out2[:, 0, :], preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+    kernel_fn = functools.partial(
+        _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
+        precision=precision, decomp=decomp,
     )
-    return (out1[:, 0] + out2_sum.reshape(Dp))[:D].astype(dtype)
+    cost = pl.CostEstimate(
+        flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
+        bytes_accessed=(2 * T * bm * fp + 3 * Dp + T * bm) * dtype.itemsize,
+        transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
+    )
+
+    def matvec(v):
+        v_pad = v if Dp == D else jnp.zeros((Dp,), v.dtype).at[:D].set(v)
+        v_row = v_pad.reshape(nI, bm)  # row j = v over column block j
+        out1, out2 = pl.pallas_call(
+            kernel_fn,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Dp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nIp, bm), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(scalars, pi, pj, *x_operands, v_row, v_pad[:, None], sq, sq_row)
+        return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(dtype)
+
+    return matvec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "degree", "bm", "bk", "interpret", "precision"),
+)
+def gram_matvec_pallas_sym(
+    kernel: KernelType,
+    X,  # (D, f) row-padded data
+    v,  # (D,)
+    *,
+    degree: int = 3,
+    gamma=1.0,
+    coef0=0.0,
+    bm: int = SYM_BLOCK_SIZE,
+    bk: int = FEATURE_BLOCK_SIZE,
+    interpret: bool = False,
+    precision=PALLAS_PRECISION,
+):
+    """One-shot ``K(X, X) @ v`` — see :func:`make_sym_matvec`.  Loop callers
+    should build the closure once instead (prep is hoisted there)."""
+    return make_sym_matvec(
+        kernel, X, degree=degree, gamma=gamma, coef0=coef0, bm=bm, bk=bk,
+        interpret=interpret, precision=precision,
+    )(v)
 
 
 def gram_matvec_pallas_auto(
@@ -501,13 +512,9 @@ def gram_matvec_pallas_auto(
     coef0=0.0,
     interpret: bool = False,
 ):
-    """Pick the symmetric kernel when it applies (square K(X,X), per-pair
-    buffer within budget), else the full kernel."""
-    D = X.shape[0]
-    bm = SYM_BLOCK_SIZE
-    nI = _round_up(D, bm) // bm
-    t_bytes = (nI * (nI + 1) // 2) * 8 * bm * 4
-    if symmetric_enabled() and t_bytes <= _sym_out2_budget_bytes():
+    """Pick the symmetric kernel when it applies (square K(X,X), enabled),
+    else the full kernel."""
+    if symmetric_enabled():
         return gram_matvec_pallas_sym(
             kernel, X, v, degree=degree, gamma=gamma, coef0=coef0,
             interpret=interpret,
