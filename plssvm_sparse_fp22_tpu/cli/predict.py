@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         start = time.perf_counter()
         with open(params.predict_filename, "w") as f:
             f.write("\n".join(fmt_shortest(v) for v in labels))
+            f.write("\n")  # byte parity with the reference (main_predict.cpp:78-88)
         if params.print_info:
             elapsed = (time.perf_counter() - start) * 1000.0
             print(

@@ -66,20 +66,33 @@ def _resolve_pallas_precision():
 PALLAS_PRECISION = _resolve_pallas_precision()
 
 
-def _transform(kernel: KernelType, G, sqi, sqj, degree, gamma, coef0):
+def _transform_rowsq(kernel: KernelType, G, sqi, sqj_row, degree, gamma, coef0):
     """Element-wise kernel transform of a Gram block (kernel_types.hpp:69-84).
 
-    ``sqi`` is (BM, 1), ``sqj`` is (BN, 1); broadcasting forms the squared
-    distances from one GEMM (norm-expansion trick).
+    ``sqi`` is (BM, 1), ``sqj_row`` is (1, BN); broadcasting forms the squared
+    distances from one GEMM (norm-expansion trick).  The row layout avoids an
+    in-kernel transpose, which Mosaic cannot lower for (BN, 1) tiles.
     """
     if kernel == KernelType.linear:
         return G
     if kernel == KernelType.polynomial:
         return lax.integer_pow(gamma * G + coef0, degree)
     if kernel == KernelType.rbf:
-        sq = sqi + sqj.T - 2.0 * G
+        sq = sqi + sqj_row - 2.0 * G
         return jnp.exp(-gamma * jnp.maximum(sq, 0.0))
     raise ValueError(f"unknown kernel {kernel}")
+
+
+def _rowsq_padded(sq_col, nblocks: int, bs: int):
+    """Pack a (nblocks*bs, 1) column of squared norms into a sublane-padded
+    ``(nblocks*8, bs)`` layout where row ``8*j`` holds block ``j``.  Mosaic
+    requires block shapes whose second-to-last dim is a multiple of 8 (or the
+    full array dim), so a natural ``(1, bs)`` row block over an
+    ``(nblocks, bs)`` array is not lowerable on real TPUs — an ``(8, bs)``
+    block over this padded layout is, and the 8x memory cost is negligible
+    (these are O(n) vectors next to the O(n*f) data matrix)."""
+    rows = sq_col[:, 0].reshape(nblocks, bs)
+    return jnp.zeros((nblocks * 8, bs), sq_col.dtype).at[::8].set(rows)
 
 
 def _gram_matvec_kernel(
@@ -92,6 +105,7 @@ def _gram_matvec_kernel(
     nk: int,
     precision,
     decomp: str,
+    acc_dtype=jnp.float32,
 ):
     if decomp == "bf16x3":
         xi_hi, xj_hi, xi_lo, xj_lo = refs[:4]
@@ -117,7 +131,7 @@ def _gram_matvec_kernel(
         return lax.dot_general(
             a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
             precision=prec,
         )
 
@@ -135,11 +149,14 @@ def _gram_matvec_kernel(
     def _():
         gamma = scalars_ref[0]
         coef0 = scalars_ref[1]
-        K = _transform(kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0)
+        # sqj arrives in the sublane-padded row layout; row 0 is the data
+        K = _transform_rowsq(
+            kernel, acc_ref[:], sqi_ref[:], sqj_ref[0:1, :], degree, gamma, coef0
+        )
         # the epilogue GEMV is a negligible FLOP fraction — always exact
         out_ref[:] += jnp.dot(
             K, v_ref[:].astype(K.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
             precision=lax.Precision.HIGHEST,
         ).astype(out_ref.dtype)
 
@@ -175,9 +192,21 @@ def gram_matvec_pallas(
     """
     if Y is None:
         Y = X
+    self_gram = Y is X
+    out_dtype = X.dtype
+    # Mosaic has no f64 path: on real TPUs f64 callers compute in f32 and get
+    # the result cast back (tests budget 1e-4 for this); under interpret
+    # (CPU oracle tests) f64 stays f64 for strict parity
+    if out_dtype == jnp.float64 and not interpret:
+        dtype = jnp.dtype(jnp.float32)
+    else:
+        dtype = jnp.dtype(out_dtype)
+    acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    X = X.astype(dtype)
+    Y = X if self_gram else Y.astype(dtype)
+    v = v.astype(dtype)
     D, f = X.shape
     N, _ = Y.shape
-    dtype = X.dtype
 
     # pad shapes up to full blocks (boundary padding, gpu_csvm.cpp:133)
     Dp, Np, fp = _round_up(D, bm), _round_up(N, bn), _round_up(f, 128)
@@ -185,15 +214,16 @@ def gram_matvec_pallas(
     fp = _round_up(fp, bk)
     if (Dp, fp) != (D, f):
         X = jnp.zeros((Dp, fp), dtype).at[:D, :f].set(X)
-    if (Np, fp) != (N, f):
+        Y = X if self_gram and (Np, fp) == (Dp, fp) else Y
+    if Y.shape != (Np, fp):
         Y = jnp.zeros((Np, fp), dtype).at[:N, :f].set(Y)
     v_pad = v if Np == N else jnp.zeros((Np,), v.dtype).at[:N].set(v)
 
-    sqx = jnp.sum(X * X, axis=1, keepdims=True)
-    sqy = jnp.sum(Y * Y, axis=1, keepdims=True)
-    scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
-
     nI, nJ, nK = Dp // bm, Np // bn, fp // bk
+
+    sqx = jnp.sum(X * X, axis=1, keepdims=True)
+    sqy8 = _rowsq_padded(jnp.sum(Y * Y, axis=1, keepdims=True), nJ, bn)
+    scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
     decomp = "bf16x3" if (
         precision == lax.Precision.HIGH and dtype == jnp.float32
@@ -216,18 +246,18 @@ def gram_matvec_pallas(
         num_scalar_prefetch=1,
         grid=(nI, nJ, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),
-            pl.BlockSpec((bm, 1), lambda i, j, k, s: (i, 0)),
-            pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),  # v column block
+            pl.BlockSpec((bm, 1), lambda i, j, k, s: (i, 0)),  # sqx column
+            pl.BlockSpec((8, bn), lambda i, j, k, s: (j, 0)),  # sqy padded row
         ],
         out_specs=pl.BlockSpec((bm, 1), lambda i, j, k, s: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
     )
 
     out = pl.pallas_call(
         functools.partial(
             _gram_matvec_kernel, kernel=kernel, degree=degree, nk=nK,
-            precision=precision, decomp=decomp,
+            precision=precision, decomp=decomp, acc_dtype=acc_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Dp, 1), dtype),
@@ -237,9 +267,9 @@ def gram_matvec_pallas(
             transcendentals=Dp * Np if kernel == KernelType.rbf else 0,
         ),
         interpret=interpret,
-    )(scalars, *x_operands, v_pad[:, None], sqx, sqy)
+    )(scalars, *x_operands, v_pad[:, None], sqx, sqy8)
 
-    return out[:D, 0]
+    return out[:D, 0].astype(out_dtype)
 
 
 # --------------------------------------------------------------------------
@@ -261,31 +291,19 @@ def symmetric_enabled() -> bool:
     return os.environ.get("PLSSVM_PALLAS_SYMMETRIC", "1") not in ("0", "off", "false")
 
 
-def _transform_rowsq(kernel: KernelType, G, sqi, sqj_row, degree, gamma, coef0):
-    """Like :func:`_transform` but with ``sqj`` already in row layout
-    ``(1, BN)`` — avoids an in-kernel transpose."""
-    if kernel == KernelType.linear:
-        return G
-    if kernel == KernelType.polynomial:
-        return lax.integer_pow(gamma * G + coef0, degree)
-    if kernel == KernelType.rbf:
-        sq = sqi + sqj_row - 2.0 * G
-        return jnp.exp(-gamma * jnp.maximum(sq, 0.0))
-    raise ValueError(f"unknown kernel {kernel}")
-
-
 def _gram_matvec_sym_kernel(
     scalars_ref,  # SMEM (2,): gamma, coef0
     pi_ref,  # SMEM (T,): row-block index of pair t
     pj_ref,  # SMEM (T,): col-block index of pair t (pj <= pi)
     *refs,
-    # exact:  xi, xj, vj_row, vi_col, sqi, sqj_row, out1, out2, acc
-    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj_row, vi_col, sqi, sqj_row, out1, out2, acc
+    # exact:  xi, xj, vj_col, vi_col, sqi, sqj8, out1, out2, acc
+    # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj_col, vi_col, sqi, sqj8, out1, out2, acc
     kernel: KernelType,
     degree: int,
     nk: int,
     precision,
     decomp: str,
+    acc_dtype=jnp.float32,
 ):
     if decomp == "bf16x3":
         xi_hi, xj_hi, xi_lo, xj_lo = refs[:4]
@@ -322,7 +340,7 @@ def _gram_matvec_sym_kernel(
         return lax.dot_general(
             a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
             precision=prec,
         )
 
@@ -344,18 +362,27 @@ def _gram_matvec_sym_kernel(
     def _():
         gamma = scalars_ref[0]
         coef0 = scalars_ref[1]
+        # sqj arrives in the sublane-padded row layout; row 0 is the data
         K = _transform_rowsq(
-            kernel, acc_ref[:], sqi_ref[:], sqj_ref[:], degree, gamma, coef0
+            kernel, acc_ref[:], sqi_ref[:], sqj_ref[0:1, :], degree, gamma, coef0
         )
-        # epilogue matvecs on the VPU: broadcast-multiply + lane/sublane
-        # reductions are exact f32 and a negligible FLOP fraction — no MXU
-        # GEMV passes, no bf16 splits
-        vj = vj_ref[:]  # (1, bm)
-        out1_ref[:] += jnp.sum(K * vj, axis=1, keepdims=True)
+        # epilogue GEMVs: exact-f32 MXU dots (negligible FLOP fraction next
+        # to the (bm, bm, f) block product); dot_general handles the
+        # transposed contraction — Mosaic cannot relayout a (bm, 1) tile
+        vj = vj_ref[:]  # (bm, 1)
+        out1_ref[:] += lax.dot_general(
+            K, vj, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=lax.Precision.HIGHEST,
+        )
         # transpose contribution K^T v_i accumulated into row j of the
         # resident out2 vector (masked add; skipped on diagonal pairs)
         vi = vi_ref[:]  # (bm, 1)
-        vK = jnp.sum(K * vi, axis=0, keepdims=True)  # (1, bm)
+        vK = lax.dot_general(
+            vi, K, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=lax.Precision.HIGHEST,
+        )  # (1, bm) = (K^T v_i)^T
         nIp, bm = out2_ref.shape
         rows = lax.broadcasted_iota(jnp.int32, (nIp, bm), 0)
         keep = jnp.logical_and(rows == j, i != j)
@@ -393,7 +420,16 @@ def make_sym_matvec(
     sequential-grid accumulation.
     """
     D, f = X.shape
-    dtype = X.dtype
+    out_dtype = X.dtype
+    # Mosaic has no f64 path: on real TPUs f64 callers compute in f32 and get
+    # the result cast back (tests budget 1e-4 for this); under interpret
+    # (CPU oracle tests) f64 stays f64 for strict parity
+    if out_dtype == jnp.float64 and not interpret:
+        dtype = jnp.dtype(jnp.float32)
+    else:
+        dtype = jnp.dtype(out_dtype)
+    acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    X = X.astype(dtype)
 
     Dp, fp = _round_up(D, bm), _round_up(f, 128)
     bk = min(bk, fp)
@@ -411,7 +447,7 @@ def make_sym_matvec(
     T = int(pi.shape[0])
 
     sq = jnp.sum(X * X, axis=1, keepdims=True)  # (Dp, 1)
-    sq_row = sq.reshape(nI, bm)  # row j of this = sq of column block j
+    sq_row8 = _rowsq_padded(sq, nI, bm)  # row 8j = sq of column block j
     scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
     # precision tier -> MXU strategy (exact f32 emulation is ~11x slower
@@ -437,21 +473,21 @@ def make_sym_matvec(
         num_scalar_prefetch=3,
         grid=(T, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((1, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj row
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj col
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # vi col
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # sqi
-            pl.BlockSpec((1, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # sqj row
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # sqj padded row
         ],
         out_specs=[
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
             pl.BlockSpec((nIp, bm), lambda t, k, s, pi, pj: (0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((bm, bm), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
     )
 
     kernel_fn = functools.partial(
         _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
-        precision=precision, decomp=decomp,
+        precision=precision, decomp=decomp, acc_dtype=acc_dtype,
     )
     cost = pl.CostEstimate(
         flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
@@ -460,19 +496,20 @@ def make_sym_matvec(
     )
 
     def matvec(v):
-        v_pad = v if Dp == D else jnp.zeros((Dp,), v.dtype).at[:D].set(v)
-        v_row = v_pad.reshape(nI, bm)  # row j = v over column block j
+        v = v.astype(dtype)
+        v_pad = v if Dp == D else jnp.zeros((Dp,), dtype).at[:D].set(v)
+        v_col = v_pad[:, None]
         out1, out2 = pl.pallas_call(
             kernel_fn,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((Dp, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nIp, bm), jnp.float32),
+                jax.ShapeDtypeStruct((Dp, 1), acc_dtype),
+                jax.ShapeDtypeStruct((nIp, bm), acc_dtype),
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(scalars, pi, pj, *x_operands, v_row, v_pad[:, None], sq, sq_row)
-        return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(dtype)
+        )(scalars, pi, pj, *x_operands, v_col, v_col, sq, sq_row8)
+        return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(out_dtype)
 
     return matvec
 
