@@ -33,9 +33,11 @@ COL_BLOCK_SIZE: int = _env_int("PLSSVM_COL_BLOCK_SIZE", 256)
 FEATURE_BLOCK_SIZE: int = _env_int("PLSSVM_FEATURE_BLOCK_SIZE", 512)
 
 #: square block of the symmetric (triangular block-pair) Pallas kernel.
-#: 512 measured fastest on v5e (136 us/matvec at 4096x256 rbf, bf16x3 tier;
-#: 256 -> ~147 us, 1024 -> ~145 us).
-SYM_BLOCK_SIZE: int = _env_int("PLSSVM_SYM_BLOCK_SIZE", 512)
+#: Unset -> chosen adaptively per system size from measured v5e per-element
+#: costs (``ops/pallas_matvec._choose_sym_bm``; 1024 is ~2x cheaper per
+#: element than 256 but pads small systems harder).  Setting the env var
+#: forces a fixed value.
+SYM_BLOCK_SIZE: int = _env_int("PLSSVM_SYM_BLOCK_SIZE", 1024)
 
 #: padding applied to the CG system size so every Pallas/XLA block is full.
 #: Analog of ``boundary_size_ = THREAD_BLOCK_SIZE * INTERNAL_BLOCK_SIZE``

@@ -153,12 +153,12 @@ def _gram_matvec_kernel(
         K = _transform_rowsq(
             kernel, acc_ref[:], sqi_ref[:], sqj_ref[0:1, :], degree, gamma, coef0
         )
-        # the epilogue GEMV is a negligible FLOP fraction — always exact
-        out_ref[:] += jnp.dot(
-            K, v_ref[:].astype(K.dtype),
-            preferred_element_type=acc_dtype,
-            precision=lax.Precision.HIGHEST,
-        ).astype(out_ref.dtype)
+        # epilogue matvec on the VPU: broadcast-multiply + lane reduction.
+        # An MXU dot with N=1 uses 1 of 128 result lanes and needs 6 passes
+        # at f32 — measured ~2x slower per CG iteration than this (exact
+        # f32 either way; v arrives in the sublane-padded row layout)
+        Kv = jnp.sum(K * v_ref[0:1, :].astype(K.dtype), axis=1, keepdims=True)
+        out_ref[:] += Kv.astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -246,7 +246,7 @@ def gram_matvec_pallas(
         num_scalar_prefetch=1,
         grid=(nI, nJ, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((bn, 1), lambda i, j, k, s: (j, 0)),  # v column block
+            pl.BlockSpec((8, bn), lambda i, j, k, s: (j, 0)),  # v padded row
             pl.BlockSpec((bm, 1), lambda i, j, k, s: (i, 0)),  # sqx column
             pl.BlockSpec((8, bn), lambda i, j, k, s: (j, 0)),  # sqy padded row
         ],
@@ -267,7 +267,7 @@ def gram_matvec_pallas(
             transcendentals=Dp * Np if kernel == KernelType.rbf else 0,
         ),
         interpret=interpret,
-    )(scalars, *x_operands, v_pad[:, None], sqx, sqy8)
+    )(scalars, *x_operands, _rowsq_padded(v_pad[:, None], nJ, bn), sqx, sqy8)
 
     return out[:D, 0].astype(out_dtype)
 
@@ -366,27 +366,45 @@ def _gram_matvec_sym_kernel(
         K = _transform_rowsq(
             kernel, acc_ref[:], sqi_ref[:], sqj_ref[0:1, :], degree, gamma, coef0
         )
-        # epilogue GEMVs: exact-f32 MXU dots (negligible FLOP fraction next
-        # to the (bm, bm, f) block product); dot_general handles the
-        # transposed contraction — Mosaic cannot relayout a (bm, 1) tile
-        vj = vj_ref[:]  # (bm, 1)
-        out1_ref[:] += lax.dot_general(
-            K, vj, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-            precision=lax.Precision.HIGHEST,
-        )
+        # epilogue matvecs on the VPU (broadcast-multiply + reduction): an
+        # MXU dot with N=1 fills 1 of 128 result lanes and needs 6 f32
+        # passes — measured ~2x slower per CG iteration.  Exact f32 either
+        # way.  v_j arrives in the sublane-padded ROW layout (row 0), v_i in
+        # the natural column layout — each side reduces over K's matching
+        # axis with no in-kernel transpose (Mosaic cannot relayout (bm, 1)).
+        Kvj = jnp.sum(K * vj_ref[0:1, :].astype(K.dtype), axis=1, keepdims=True)
+        out1_ref[:] += Kvj.astype(out1_ref.dtype)
         # transpose contribution K^T v_i accumulated into row j of the
         # resident out2 vector (masked add; skipped on diagonal pairs)
-        vi = vi_ref[:]  # (bm, 1)
-        vK = lax.dot_general(
-            vi, K, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_dtype,
-            precision=lax.Precision.HIGHEST,
-        )  # (1, bm) = (K^T v_i)^T
+        vK = jnp.sum(K * vi_ref[:].astype(K.dtype), axis=0, keepdims=True)
+        # (1, bm) = (K^T v_i)^T
         nIp, bm = out2_ref.shape
         rows = lax.broadcasted_iota(jnp.int32, (nIp, bm), 0)
         keep = jnp.logical_and(rows == j, i != j)
         out2_ref[:] += jnp.where(keep, jnp.broadcast_to(vK, (nIp, bm)), 0.0)
+
+
+#: measured v5e cost per padded Gram element at each square block size
+#: (slope-timed CG at 4096x256 rbf, bf16x3 tier): larger blocks feed the MXU
+#: markedly better — 1024 is ~2x cheaper per element than 256 — but pad
+#: small systems harder.  _choose_sym_bm picks the cheapest total.
+_SYM_BM_EFFICIENCY = {256: 1.00, 512: 0.76, 1024: 0.49}
+
+
+def _choose_sym_bm(D: int) -> int:
+    """Pick the square block size minimizing (padded triangular work) x
+    (measured per-element cost).  ``PLSSVM_SYM_BLOCK_SIZE`` forces a value
+    (the analog of the reference's CMake block-size overrides,
+    ``CMakeLists.txt:398-438``)."""
+    if os.environ.get("PLSSVM_SYM_BLOCK_SIZE"):
+        return SYM_BLOCK_SIZE
+
+    def score(bm: int) -> float:
+        n_i = -(-D // bm)
+        pairs = n_i * (n_i + 1) // 2
+        return _SYM_BM_EFFICIENCY[bm] * pairs * bm * bm
+
+    return min(_SYM_BM_EFFICIENCY, key=score)
 
 
 def make_sym_matvec(
@@ -396,7 +414,7 @@ def make_sym_matvec(
     degree: int = 3,
     gamma=1.0,
     coef0=0.0,
-    bm: int = SYM_BLOCK_SIZE,
+    bm: int | None = None,
     bk: int = FEATURE_BLOCK_SIZE,
     interpret: bool = False,
     precision=PALLAS_PRECISION,
@@ -430,6 +448,11 @@ def make_sym_matvec(
         dtype = jnp.dtype(out_dtype)
     acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     X = X.astype(dtype)
+
+    if bm is None:
+        bm = _choose_sym_bm(D)
+    if bm >= 1024:
+        bk = min(bk, 256)  # VMEM headroom for the 1024^2 f32 Gram block
 
     Dp, fp = _round_up(D, bm), _round_up(f, 128)
     bk = min(bk, fp)
@@ -473,7 +496,7 @@ def make_sym_matvec(
         num_scalar_prefetch=3,
         grid=(T, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj col
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj padded row
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # vi col
             pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # sqi
             pl.BlockSpec((8, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # sqj padded row
@@ -499,6 +522,7 @@ def make_sym_matvec(
         v = v.astype(dtype)
         v_pad = v if Dp == D else jnp.zeros((Dp,), dtype).at[:D].set(v)
         v_col = v_pad[:, None]
+        v_row8 = _rowsq_padded(v_col, nI, bm)
         out1, out2 = pl.pallas_call(
             kernel_fn,
             grid_spec=grid_spec,
@@ -508,7 +532,7 @@ def make_sym_matvec(
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(scalars, pi, pj, *x_operands, v_col, v_col, sq, sq_row8)
+        )(scalars, pi, pj, *x_operands, v_row8, v_col, sq, sq_row8)
         return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(out_dtype)
 
     return matvec
@@ -526,7 +550,7 @@ def gram_matvec_pallas_sym(
     degree: int = 3,
     gamma=1.0,
     coef0=0.0,
-    bm: int = SYM_BLOCK_SIZE,
+    bm: int | None = None,
     bk: int = FEATURE_BLOCK_SIZE,
     interpret: bool = False,
     precision=PALLAS_PRECISION,

@@ -167,6 +167,134 @@ def _cg_sharded(matvec, b_loc, mask_loc, eps, imax):
     return x, k, delta, delta0
 
 
+def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int):
+    """Multi-chip learn with the **feature axis** sharded — the reference's
+    own multi-GPU decomposition (``feature_ranges_``, ``gpu_csvm.cpp:130-157``)
+    kept as an option for very wide data (SURVEY.md §2.4 item 3).
+
+    Each chip holds a column slice ``X_loc`` (D, f/p); the Gram matvec is the
+    psum of partial products ``K v = sum_p X_p (X_p^T v)`` — one O(D)
+    collective per iteration, the XLA-native replacement for the reference's
+    host-staged ``device_reduction`` (``gpu_csvm.cpp:366-386``).  CG vectors
+    are replicated, so the BLAS-1 needs no collectives at all, and the
+    "device 0 owns the rank-1 correction" trick (``svm_kernel.cu:67-71``)
+    disappears: corrections are applied identically on every chip after the
+    psum.
+
+    The reference supports this split for the **linear kernel only** and pins
+    polynomial/RBF to one GPU (``CUDA/csvm.cu:61-63``).  Here poly/RBF work
+    too: their Gram matrix depends on features only through the linear Gram
+    ``G = sum_p X_p X_p^T``, so each row block psums its partial ``G`` block
+    and applies the kernel transform post-collective — O(D^2/blocks) comm per
+    block sweep, worthwhile only when f/p dwarfs D (the wide-sparse regime
+    this mode exists for).
+
+    Returns ``fn(X_feat, x_last_feat, b, mask, gamma, coef0, cost, eps, imax)``
+    with X/x_last feature-sharded and the vectors replicated; outputs are
+    replicated.
+    """
+    from ..constants import ROW_BLOCK_SIZE
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(None), P(None),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(None), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(X_loc, x_last_loc, b, mask, gamma, coef0, cost, eps, imax):
+        dtype = X_loc.dtype
+        D = X_loc.shape[0]
+        cost_inv = jnp.asarray(1.0, dtype) / cost
+
+        # q and QA_cost from psummed partial linear terms
+        # (generate_q + device_reduction, gpu_csvm.cpp:160-183)
+        g_last = lax.psum(
+            jnp.dot(X_loc, x_last_loc, preferred_element_type=dtype, precision=PRECISION),
+            DATA_AXIS,
+        )
+        sq_last = lax.psum(jnp.dot(x_last_loc, x_last_loc,
+                                   preferred_element_type=dtype, precision=PRECISION),
+                           DATA_AXIS)
+        sq_loc = lax.psum(jnp.sum(X_loc * X_loc, axis=1), DATA_AXIS)
+
+        if kernel == KernelType.linear:
+            q = g_last
+            QA = sq_last
+        elif kernel == KernelType.polynomial:
+            q = (gamma * g_last + coef0) ** degree
+            QA = (gamma * sq_last + coef0) ** degree
+        else:  # rbf
+            q = jnp.exp(-gamma * jnp.maximum(sq_loc + sq_last - 2.0 * g_last, 0.0))
+            QA = jnp.asarray(1.0, dtype)
+        q = q * mask
+        QA_cost = QA + cost_inv
+
+        def corrections(Kv, v):
+            s = jnp.sum(v)
+            t = jnp.dot(q, v, preferred_element_type=dtype, precision=PRECISION)
+            return mask * Kv + (QA_cost * s - t) * mask - s * q + cost_inv * v
+
+        if kernel == KernelType.linear:
+
+            def matvec(v):
+                u = jnp.dot(X_loc.T, v, preferred_element_type=dtype, precision=PRECISION)
+                Kv = lax.psum(
+                    jnp.dot(X_loc, u, preferred_element_type=dtype, precision=PRECISION),
+                    DATA_AXIS,
+                )
+                return corrections(Kv, v)
+
+        else:
+            # blockwise psum-assembled Gram rows + post-collective transform
+            nb = D // ROW_BLOCK_SIZE if (D % ROW_BLOCK_SIZE == 0 and D >= ROW_BLOCK_SIZE) else 1
+            Xb = X_loc.reshape(nb, D // nb, -1)
+            sqb = sq_loc.reshape(nb, D // nb)
+
+            def matvec(v):
+                def block_fn(args):
+                    Xi, sq_i = args
+                    G_blk = lax.psum(
+                        jnp.dot(Xi, X_loc.T, preferred_element_type=dtype,
+                                precision=PRECISION),
+                        DATA_AXIS,
+                    )
+                    if kernel == KernelType.polynomial:
+                        K_blk = (gamma * G_blk + coef0) ** degree
+                    else:
+                        d2 = sq_i[:, None] + sq_loc[None, :] - 2.0 * G_blk
+                        K_blk = jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+                    return jnp.dot(K_blk, v, preferred_element_type=dtype,
+                                   precision=PRECISION)
+
+                Kv = lax.map(block_fn, (Xb, sqb)).reshape(D)
+                return corrections(Kv, v)
+
+        from ..solver.cg import cg_solve
+
+        res = cg_solve(matvec, b, mask, eps, imax)
+        s = jnp.sum(res.x)
+        t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
+        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+    return jax.jit(run)
+
+
+def shard_system_feature(mesh: Mesh, X_pad, x_last, b_pad, mask):
+    """Place the padded system on the mesh (features sharded, vectors
+    replicated) — the reference's ``feature_ranges_`` layout."""
+    col_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    feat_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(X_pad, col_sharding),
+        jax.device_put(x_last, feat_sharding),
+        jax.device_put(b_pad, rep),
+        jax.device_put(mask, rep),
+    )
+
+
 def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
                        use_pallas: bool | None = None):
     """Build the jitted multi-chip learn step for a given mesh/config.
