@@ -295,7 +295,8 @@ class CSVM:
         X_pad = np.zeros((D, f), dtype=self.dtype)
         X_pad[:dept] = X[:dept]
         x_last = X[-1].astype(self.dtype)
-        mode = choose_mode(self.kernel, dept, self.dtype)
+        mode = choose_mode(self.kernel, dept, self.dtype,
+                           num_features=f, backend=self.backend)
         if self.params.checkpoint_path is not None or self.params.verbose_cg:
             return self._learn_dense_checkpointed(
                 X_pad, x_last, b_pad, mask, imax, mode, dept

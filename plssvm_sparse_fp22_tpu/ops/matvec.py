@@ -52,11 +52,30 @@ def _k_cache_budget_bytes() -> int:
     return int(os.environ.get("PLSSVM_K_CACHE_BYTES", 8 * 1024**3))
 
 
-def choose_mode(kernel: KernelType, dept: int, dtype) -> str:
+def _implicit_feature_cutoff() -> int:
+    """Feature width below which the symmetric Pallas implicit matvec beats
+    the cached-K GEMV per iteration.  Cached reads ``4n^2`` bytes from HBM
+    (~4.9 ps/element at v5e's ~819 GB/s); implicit spends ``3·2·f/2`` bf16
+    MXU FLOPs per element (~f/65 ps at ~197 TFLOP/s) — crossover near
+    f = 4·peak/(3·BW) ~ 320.  Implicit also needs only O(nf) memory."""
+    return int(os.environ.get("PLSSVM_IMPLICIT_FEATURE_CUTOFF", 320))
+
+
+def choose_mode(kernel: KernelType, dept: int, dtype,
+                num_features: int | None = None,
+                backend: BackendType | None = None) -> str:
     """Pick the execution mode (analog of ``determine_default_backend``,
     ``backend_types.cpp:51-74``, but over matvec strategies)."""
     if kernel == KernelType.linear:
         return "linear"
+    if (
+        backend == BackendType.pallas
+        and num_features is not None
+        and num_features <= _implicit_feature_cutoff()
+    ):
+        # narrow data: recomputing the Gram block on the MXU each iteration
+        # is faster than streaming a cached K from HBM, at O(nf) memory
+        return "implicit"
     itemsize = jnp.dtype(dtype).itemsize
     if dept * dept * itemsize <= _k_cache_budget_bytes():
         return "cached"
@@ -104,7 +123,8 @@ def build_operator(
     cost_inv = jnp.asarray(cost_inv, dtype)
     if mode is None:
         dept = int(mask.sum()) if isinstance(mask, (jnp.ndarray,)) else D
-        mode = choose_mode(kernel, dept, dtype)
+        mode = choose_mode(kernel, dept, dtype,
+                           num_features=X_pad.shape[1], backend=backend)
 
     if mode == "linear":
         if kernel != KernelType.linear:
