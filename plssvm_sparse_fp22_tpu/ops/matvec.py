@@ -57,8 +57,14 @@ def _implicit_feature_cutoff() -> int:
     the cached-K GEMV per iteration.  Cached reads ``4n^2`` bytes from HBM
     (~4.9 ps/element at v5e's ~819 GB/s); implicit spends ``3·2·f/2`` bf16
     MXU FLOPs per element (~f/65 ps at ~197 TFLOP/s) — crossover near
-    f = 4·peak/(3·BW) ~ 320.  Implicit also needs only O(nf) memory."""
-    return int(os.environ.get("PLSSVM_IMPLICIT_FEATURE_CUTOFF", 320))
+    f = 4·peak/(3·BW) ~ 320.  Implicit also needs only O(nf) memory.
+
+    With the symmetric kernel disabled the implicit path runs the full
+    (non-triangular) kernel at 2x the FLOPs, so the crossover halves."""
+    cutoff = int(os.environ.get("PLSSVM_IMPLICIT_FEATURE_CUTOFF", 320))
+    from .pallas_matvec import symmetric_enabled
+
+    return cutoff if symmetric_enabled() else cutoff // 2
 
 
 def choose_mode(kernel: KernelType, dept: int, dtype,
@@ -68,15 +74,16 @@ def choose_mode(kernel: KernelType, dept: int, dtype,
     ``backend_types.cpp:51-74``, but over matvec strategies)."""
     if kernel == KernelType.linear:
         return "linear"
+    itemsize = jnp.dtype(dtype).itemsize
     if (
         backend == BackendType.pallas
         and num_features is not None
         and num_features <= _implicit_feature_cutoff()
+        and itemsize <= 4  # f64 keeps exact cached GEMVs (Mosaic has no f64)
     ):
         # narrow data: recomputing the Gram block on the MXU each iteration
         # is faster than streaming a cached K from HBM, at O(nf) memory
         return "implicit"
-    itemsize = jnp.dtype(dtype).itemsize
     if dept * dept * itemsize <= _k_cache_budget_bytes():
         return "cached"
     return "implicit"

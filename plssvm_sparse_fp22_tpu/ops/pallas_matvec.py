@@ -41,8 +41,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import (COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE,
-                         ROW_BLOCK_SIZE, SYM_BLOCK_SIZE)
+from ..constants import COL_BLOCK_SIZE, FEATURE_BLOCK_SIZE, ROW_BLOCK_SIZE
 from ..types import KernelType
 from .kernel_functions import PRECISION  # noqa: F401  (re-exported)
 
@@ -396,8 +395,9 @@ def _choose_sym_bm(D: int) -> int:
     (measured per-element cost).  ``PLSSVM_SYM_BLOCK_SIZE`` forces a value
     (the analog of the reference's CMake block-size overrides,
     ``CMakeLists.txt:398-438``)."""
-    if os.environ.get("PLSSVM_SYM_BLOCK_SIZE"):
-        return SYM_BLOCK_SIZE
+    forced = os.environ.get("PLSSVM_SYM_BLOCK_SIZE")
+    if forced:
+        return int(forced)
 
     def score(bm: int) -> float:
         n_i = -(-D // bm)

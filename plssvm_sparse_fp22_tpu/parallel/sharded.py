@@ -284,6 +284,13 @@ def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int):
 def shard_system_feature(mesh: Mesh, X_pad, x_last, b_pad, mask):
     """Place the padded system on the mesh (features sharded, vectors
     replicated) — the reference's ``feature_ranges_`` layout."""
+    ndev = mesh.devices.size
+    if X_pad.shape[1] % ndev != 0:
+        raise ValueError(
+            f"feature count {X_pad.shape[1]} must divide evenly over the "
+            f"{ndev}-device mesh for feature sharding; pad the feature axis "
+            f"to a multiple of {ndev} first"
+        )
     col_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     feat_sharding = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
