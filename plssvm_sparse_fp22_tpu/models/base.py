@@ -19,6 +19,7 @@ of the row block so every MXU tile is full — the analog of the reference's
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -30,7 +31,7 @@ from ..constants import PAD_SIZE, ROW_BLOCK_SIZE
 from ..exceptions import PLSSVMError
 from ..io.model import write_model_file
 from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
-from ..ops.matvec import build_operator, choose_mode
+from ..ops.matvec import build_operator, choose_mode, jacobi_minv as _jacobi_minv
 from ..params import Parameter
 from ..solver.cg import CGState, cg_init, cg_run, cg_solve
 from ..types import BackendType, KernelType
@@ -38,23 +39,6 @@ from ..types import BackendType, KernelType
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0):
-    """Inverse diagonal of the implicit matrix:
-    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j)."""
-    dtype = X_pad.dtype
-    sq = jnp.sum(X_pad * X_pad, axis=1)
-    if kernel == KernelType.linear:
-        kii = sq
-    elif kernel == KernelType.polynomial:
-        kii = (gamma * sq + coef0) ** degree
-    else:  # rbf: k(x, x) = 1
-        kii = jnp.ones_like(sq)
-    diag = kii + QA_cost - 2.0 * q + cost_inv
-    # A is SPD so diag > 0; guard against FP underflow on degenerate rows
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    return mask / jnp.maximum(diag, tiny)
 
 
 @partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
@@ -242,21 +226,29 @@ class CSVM:
             return
 
         start = time.perf_counter()
-        block = max(PAD_SIZE, ROW_BLOCK_SIZE)
-        D = _round_up(dept, block)
-
-        b_pad = np.zeros(D, dtype=self.dtype)
-        b_pad[:dept] = y[:dept] - y[-1]  # b = y[:-1] - y[-1] (csvm.cpp:236-240)
-        mask = np.zeros(D, dtype=self.dtype)
-        mask[:dept] = 1.0
         imax = self.params.max_iter if self.params.max_iter is not None else f
+        # don't spread a tiny system over chips (the analog of the reference's
+        # devices_ = min(device_count, num_features), CUDA/csvm.cu:52 — here
+        # the scaling axis is rows, so the cap is rows-per-shard >= PAD_SIZE)
+        ndev = min(self._num_devices(), max(1, dept // PAD_SIZE))
 
         if self._use_sparse():
+            D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+            b_pad, mask = self._padded_vectors(D, dept, y)
             mode, out = self._learn_sparse(D, dept, f, b_pad, mask, imax)
+        elif ndev > 1:
+            # transparent multi-chip learn — the analog of the reference
+            # using every visible GPU (gpu_csvm.cpp:130-157) with XLA
+            # collectives instead of its host-staged device_reduction
+            mode, out = self._learn_dense_sharded(dept, f, y, imax, ndev)
         else:
+            D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+            b_pad, mask = self._padded_vectors(D, dept, y)
             mode, out = self._learn_dense(D, dept, f, b_pad, mask, imax)
         x, s, t, QA_cost, iters, delta, delta0 = out
-        x = np.asarray(x, np.float64)[:dept]
+        x = np.asarray(x, np.float64)
+        D = len(x)  # padded system size (strategy-dependent alignment)
+        x = x[:dept]
         s_np = float(s)
         self.QA_cost_ = float(QA_cost)
 
@@ -290,6 +282,128 @@ class CSVM:
         ``parameter.hpp:51-75``)."""
         return self.data.density <= float(self.params.sparse_threshold)
 
+    def _num_devices(self) -> int:
+        """Devices to span, mirroring the reference's transparent use of
+        every visible GPU (``CUDA/csvm.cu:52``).  ``Parameter.devices`` or
+        ``PLSSVM_DEVICES`` pins a count; capped at what's visible."""
+        if self.params.devices is not None:
+            n = int(self.params.devices)
+        else:
+            env = os.environ.get("PLSSVM_DEVICES", "")
+            n = int(env) if env else jax.device_count()
+        return max(1, min(n, jax.device_count()))
+
+    def _padded_vectors(self, D, dept, y):
+        b_pad = np.zeros(D, dtype=self.dtype)
+        b_pad[:dept] = y[:dept] - y[-1]  # b = y[:-1] - y[-1] (csvm.cpp:236-240)
+        mask = np.zeros(D, dtype=self.dtype)
+        mask[:dept] = 1.0
+        return b_pad, mask
+
+    def _scalar_args(self):
+        return (
+            jnp.asarray(self.gamma, self.dtype),
+            jnp.asarray(self.coef0, self.dtype),
+            jnp.asarray(self.cost, self.dtype),
+        )
+
+    def _mesh(self, ndev):
+        from ..parallel.mesh import make_mesh
+
+        if getattr(self, "_mesh_cache", None) is None or self._mesh_cache.devices.size != ndev:
+            self._mesh_cache = make_mesh(ndev)
+        return self._mesh_cache
+
+    def _learn_dense_sharded(self, dept, f, y, imax, ndev):
+        """Row-sharded multi-chip learn (``parallel/sharded.py``): zero new
+        flags, same outputs — the product-surface twin of the reference's
+        multi-device ``learn()`` (``gpu_csvm.cpp:130-157``)."""
+        from ..ops.matvec import choose_sharded_mode
+        from ..parallel.sharded import (make_sharded_learn,
+                                        make_sharded_learn_fns, shard_system)
+
+        # every shard lane-aligned; the Pallas kernels pad their own operands
+        # up to full (bm, bk) tiles per shard, so PAD_SIZE alignment suffices
+        D = _round_up(dept, PAD_SIZE * ndev)
+        b_pad, mask = self._padded_vectors(D, dept, y)
+        X = self.data.dense
+        X_pad = np.zeros((D, f), dtype=self.dtype)
+        X_pad[:dept] = X[:dept]
+        x_last = jnp.asarray(X[-1].astype(self.dtype))
+        mode = choose_sharded_mode(self.kernel, dept, self.dtype, ndev,
+                                   num_features=f, backend=self.backend)
+        mesh = self._mesh(ndev)
+        Xs, bs, ms = shard_system(mesh, X_pad, b_pad, mask)
+        precond = str(self.params.precond)
+        mode_name = f"sharded_{mode}[{ndev}]"
+
+        if self.params.checkpoint_path is not None or self.params.verbose_cg:
+            setup_jit, chunk_jit = make_sharded_learn_fns(
+                mesh, self.kernel, self.degree, mode, precond=precond)
+            scalars = self._scalar_args()
+            eps = jnp.asarray(self.epsilon, self.dtype)
+
+            def setup():
+                return setup_jit(Xs, x_last, bs, ms, *scalars)
+
+            def chunk(q, QA_cost, imax_end, state):
+                return chunk_jit(Xs, bs, ms, x_last, *scalars, eps,
+                                 jnp.asarray(imax_end, jnp.int32), state)
+
+            q, QA_cost, state = self._drive_chunked_cg(setup, chunk, imax, dept)
+            x_np = np.asarray(state.x, np.float64)
+            s = x_np.sum()
+            t = np.asarray(q, np.float64) @ x_np
+            return mode_name, (state.x, s, t, QA_cost, state.k, state.delta,
+                               state.delta0)
+
+        learn = make_sharded_learn(mesh, self.kernel, self.degree, mode,
+                                   precond=precond)
+        out = learn(
+            Xs, x_last, bs, ms, *self._scalar_args(),
+            jnp.asarray(self.epsilon, self.dtype), jnp.asarray(imax, jnp.int32),
+        )
+        return mode_name, out
+
+    def _drive_chunked_cg(self, setup, chunk, imax, dept):
+        """Host-side chunked-CG driver shared by the dense and sharded learn
+        paths: periodic checkpoints + optional per-iteration residual output
+        (``gpu_csvm.cpp:245-247``).  ``setup() -> (q, QA_cost, state)``;
+        ``chunk(q, QA_cost, imax_end, state) -> state``."""
+        from ..solver.checkpoint import load_cg_checkpoint, save_cg_checkpoint
+
+        path = self.params.checkpoint_path
+        interval = max(1, int(self.params.checkpoint_interval))
+        if self.params.verbose_cg:
+            interval = 1  # per-iteration residual output (gpu_csvm.cpp:245-247)
+
+        loaded = load_cg_checkpoint(path) if path is not None else None
+        if loaded is not None:
+            state, q, QA_cost, meta = loaded
+            if int(meta.get("dept", -1)) != dept or int(meta.get("kernel", -1)) != int(self.kernel):
+                raise PLSSVMError(
+                    f"Checkpoint '{path}' does not match this training problem!"
+                )
+            if self.print_info:
+                print(f"Resumed CG from checkpoint '{path}' at iteration {int(state.k)}.")
+        else:
+            q, QA_cost, state = setup()
+
+        target = float(self.epsilon) ** 2 * float(state.delta0)
+        meta = {"dept": dept, "kernel": int(self.kernel)}
+        while int(state.k) < imax and float(state.delta) > target:
+            if self.params.verbose_cg and self.print_info:
+                # reference per-iteration line (gpu_csvm.cpp:245-247)
+                print(
+                    f"Start Iteration {int(state.k) + 1} (max: {imax}) with current "
+                    f"residuum {float(state.delta)} (target: {target}). "
+                )
+            end = min(int(state.k) + interval, imax)
+            state = chunk(q, QA_cost, end, state)
+            if path is not None:
+                save_cg_checkpoint(path, state, q, QA_cost, meta)
+        return q, QA_cost, state
+
     def _learn_dense(self, D, dept, f, b_pad, mask, imax):
         X = self.data.dense
         X_pad = np.zeros((D, f), dtype=self.dtype)
@@ -317,62 +431,46 @@ class CSVM:
         Extension over the reference, whose only checkpoint is the final
         model file (SURVEY.md §5).
         """
-        from ..solver.checkpoint import load_cg_checkpoint, save_cg_checkpoint
-
-        path = self.params.checkpoint_path
-        interval = max(1, int(self.params.checkpoint_interval))
-        if self.params.verbose_cg:
-            interval = 1  # per-iteration residual output (gpu_csvm.cpp:245-247)
         Xd, bd, md = jnp.asarray(X_pad), jnp.asarray(b_pad), jnp.asarray(mask)
-        scalars = (
-            jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
-            jnp.asarray(self.cost, self.dtype),
-        )
-
-        loaded = load_cg_checkpoint(path) if path is not None else None
-        if loaded is not None:
-            state, q, QA_cost, meta = loaded
-            if int(meta.get("dept", -1)) != dept or int(meta.get("kernel", -1)) != int(self.kernel):
-                raise PLSSVMError(
-                    f"Checkpoint '{path}' does not match this training problem!"
-                )
-            if self.print_info:
-                print(f"Resumed CG from checkpoint '{path}' at iteration {int(state.k)}.")
-        else:
-            q, QA_cost, state = _cg_setup_jit(
-                Xd, jnp.asarray(x_last), bd, md, *scalars,
-                kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
-                precond=str(self.params.precond),
-            )
-
+        scalars = self._scalar_args()
         eps = jnp.asarray(self.epsilon, self.dtype)
-        target = float(self.epsilon) ** 2 * float(state.delta0)
-        meta = {"dept": dept, "kernel": int(self.kernel)}
-        while int(state.k) < imax and float(state.delta) > target:
-            if self.params.verbose_cg and self.print_info:
-                # reference per-iteration line (gpu_csvm.cpp:245-247)
-                print(
-                    f"Start Iteration {int(state.k) + 1} (max: {imax}) with current "
-                    f"residuum {float(state.delta)} (target: {target}). "
-                )
-            end = min(int(state.k) + interval, imax)
-            state = _cg_chunk_jit(
-                Xd, bd, md, q, QA_cost, *scalars, eps, jnp.asarray(end, jnp.int32),
-                state, kernel=self.kernel, degree=self.degree, mode=mode,
-                backend=self.backend, precond=str(self.params.precond),
-            )
-            if path is not None:
-                save_cg_checkpoint(path, state, q, QA_cost, meta)
+        precond = str(self.params.precond)
 
+        def setup():
+            return _cg_setup_jit(
+                Xd, jnp.asarray(x_last), bd, md, *scalars,
+                kernel=self.kernel, degree=self.degree, mode=mode,
+                backend=self.backend, precond=precond,
+            )
+
+        def chunk(q, QA_cost, imax_end, state):
+            return _cg_chunk_jit(
+                Xd, bd, md, q, QA_cost, *scalars, eps,
+                jnp.asarray(imax_end, jnp.int32), state,
+                kernel=self.kernel, degree=self.degree, mode=mode,
+                backend=self.backend, precond=precond,
+            )
+
+        q, QA_cost, state = self._drive_chunked_cg(setup, chunk, imax, dept)
         dtype = self.dtype
         s = jnp.sum(state.x)
-        t = jnp.dot(q, state.x, preferred_element_type=dtype, precision=PRECISION)
+        t = jnp.dot(jnp.asarray(q, dtype), state.x,
+                    preferred_element_type=dtype, precision=PRECISION)
         return mode, (state.x, s, t, QA_cost, state.k, state.delta, state.delta0)
 
     def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
         from ..ops.sparse import ELLMatrix, host_gram_from_csr
         from .sparse_learn import learn_from_gram_jit, learn_sparse_linear_jit
 
+        if self.params.checkpoint_path is not None or self.params.verbose_cg:
+            # loud instead of silent (the reference has one solver_CG with one
+            # feature set everywhere; here these two flags are dense-path only
+            # for now)
+            raise PLSSVMError(
+                "--checkpoint/--verbose_cg are not supported on the sparse "
+                "learn path; set sparse_threshold=0 to force the dense path"
+            )
+        precond = str(self.params.precond)
         csr = self.data.csr
         common = (
             jnp.asarray(self.cost, self.dtype), jnp.asarray(self.epsilon, self.dtype),
@@ -384,6 +482,7 @@ class CSVM:
             out = learn_sparse_linear_jit(
                 ell.values, ell.cols, jnp.asarray(x_last),
                 jnp.asarray(b_pad), jnp.asarray(mask), *common, f=f,
+                precond=precond,
             )
             return "sparse_linear", out
 
@@ -411,7 +510,7 @@ class CSVM:
             G_dev, sq_dev, jnp.asarray(q_lin),
             jnp.asarray(qa_lin, self.dtype), jnp.asarray(b_pad), jnp.asarray(mask),
             jnp.asarray(self.gamma, self.dtype), jnp.asarray(self.coef0, self.dtype),
-            *common, kernel=self.kernel, degree=self.degree,
+            *common, kernel=self.kernel, degree=self.degree, precond=precond,
         )
         return "sparse_gram", out
 
@@ -421,6 +520,21 @@ class CSVM:
         if self._X_all_dev is None:
             self._X_all_dev = jnp.asarray(self.data.dense.astype(self.dtype))
         return self._X_all_dev
+
+    def _padded_sv(self, ndev):
+        """Support vectors + alphas zero-padded so the SV axis splits evenly
+        over ``ndev`` chips (padding rows carry zero alphas — harmless)."""
+        n, f = self.num_data_points, self.num_features
+        Np = _round_up(n, ndev * 8)
+        cache = getattr(self, "_padded_sv_cache", None)
+        if cache is None or cache[0] != Np:
+            X_sv = np.zeros((Np, f), dtype=self.dtype)
+            X_sv[:n] = self.data.dense
+            cache = (Np, jnp.asarray(X_sv))
+            self._padded_sv_cache = cache
+        a_sv = np.zeros(Np, dtype=self.dtype)
+        a_sv[:n] = self.alphas
+        return cache[1], jnp.asarray(a_sv)
 
     def _check_points(self, points: np.ndarray) -> np.ndarray:
         points = np.asarray(points, np.float64)
@@ -444,6 +558,7 @@ class CSVM:
             raise PLSSVMError("No alphas provided for prediction!")
 
         alphas_dev = jnp.asarray(self.alphas.astype(self.dtype))
+        ndev = self._num_devices()
         if self.kernel == KernelType.linear:
             # w fast path (gpu_csvm.cpp:83-91)
             if self.w_ is None:
@@ -452,6 +567,15 @@ class CSVM:
                     self.w_ = np.asarray(
                         self.data.csr.T @ self.alphas, np.float64
                     ).ravel()
+                elif ndev > 1:
+                    # multi-chip update_w (gpu_csvm.cpp:327-350): each chip
+                    # contracts its row slice, psum replicates w
+                    from ..parallel.sharded import make_sharded_w
+
+                    X_sv, a_sv = self._padded_sv(ndev)
+                    self.w_ = np.asarray(
+                        make_sharded_w(self._mesh(ndev))(X_sv, a_sv), np.float64
+                    )
                 else:
                     self.w_ = np.asarray(
                         _w_jit(self._X_all_device(), alphas_dev), np.float64
@@ -474,6 +598,21 @@ class CSVM:
                     jnp.asarray(self.gamma, self.dtype),
                     jnp.asarray(self.coef0, self.dtype),
                     kernel=self.kernel, degree=self.degree,
+                ),
+                np.float64,
+            )
+        elif ndev > 1:
+            # multi-chip kernel expansion: SV axis sharded, decision values
+            # psummed (gpu_csvm.cpp:52-127 over all devices)
+            from ..parallel.sharded import make_sharded_predict
+
+            X_sv, a_sv = self._padded_sv(ndev)
+            out = np.asarray(
+                make_sharded_predict(self._mesh(ndev), self.kernel, self.degree)(
+                    jnp.asarray(points.astype(self.dtype)), X_sv, a_sv,
+                    jnp.asarray(self.bias_, self.dtype),
+                    jnp.asarray(self.gamma, self.dtype),
+                    jnp.asarray(self.coef0, self.dtype),
                 ),
                 np.float64,
             )

@@ -28,8 +28,17 @@ from ..solver.cg import cg_solve
 from ..types import KernelType
 
 
-@partial(jax.jit, static_argnames=("f",))
-def learn_sparse_linear_jit(vals, cols, x_last_dense, b_pad, mask, cost, eps, imax, *, f):
+def _diag_minv(kii, q, mask, QA_cost, cost_inv):
+    """Jacobi preconditioner from the kernel diagonal:
+    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j)."""
+    diag = kii + QA_cost - 2.0 * q + cost_inv
+    tiny = jnp.asarray(jnp.finfo(kii.dtype).tiny, kii.dtype)
+    return mask / jnp.maximum(diag, tiny)
+
+
+@partial(jax.jit, static_argnames=("f", "precond"))
+def learn_sparse_linear_jit(vals, cols, x_last_dense, b_pad, mask, cost, eps, imax,
+                            *, f, precond: str = "none"):
     """Linear-kernel learn over ELL-packed rows; O(nnz) per CG iteration."""
     dtype = vals.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
@@ -45,7 +54,12 @@ def learn_sparse_linear_jit(vals, cols, x_last_dense, b_pad, mask, cost, eps, im
         Kv = ell_matvec(ell, u)  # X u   : gather back to rows
         return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
-    res = cg_solve(matvec, b_pad, mask, eps, imax)
+    minv = None
+    if precond == "jacobi":
+        from ..ops.sparse import ell_row_sqnorms
+
+        minv = _diag_minv(ell_row_sqnorms(ell), q, mask, QA_cost, cost_inv)
+    res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
@@ -63,9 +77,10 @@ def _transform_gram(kernel: KernelType, G, sq, degree, gamma, coef0):
     raise ValueError(f"unknown kernel {kernel}")
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree"))
+@partial(jax.jit, static_argnames=("kernel", "degree", "precond"))
 def learn_from_gram_jit(G_pad, sq, q_lin, qa_lin, b_pad, mask,
-                        gamma, coef0, cost, eps, imax, *, kernel, degree):
+                        gamma, coef0, cost, eps, imax, *, kernel, degree,
+                        precond: str = "none"):
     """Cached-mode learn from a host-assembled linear Gram matrix.
 
     ``G_pad`` is (D, D) with ``G[i, j] = <x_i, x_j>`` over the first dept
@@ -94,7 +109,10 @@ def learn_from_gram_jit(G_pad, sq, q_lin, qa_lin, b_pad, mask,
         Kv = jnp.dot(K, v, preferred_element_type=dtype, precision=PRECISION)
         return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
-    res = cg_solve(matvec, b_pad, mask, eps, imax)
+    minv = None
+    if precond == "jacobi":
+        minv = _diag_minv(jnp.diagonal(K), q, mask, QA_cost, cost_inv)
+    res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0

@@ -89,6 +89,47 @@ def choose_mode(kernel: KernelType, dept: int, dtype,
     return "implicit"
 
 
+def choose_sharded_mode(kernel: KernelType, dept: int, dtype, ndev: int,
+                        num_features: int | None = None,
+                        backend: BackendType | None = None) -> str:
+    """Mode selection for the row-sharded multi-chip learn: same policy as
+    :func:`choose_mode` but the cached-K slab is split over ``ndev`` chips,
+    so the K-cache budget applies per device."""
+    if kernel == KernelType.linear:
+        return "linear"
+    itemsize = jnp.dtype(dtype).itemsize
+    if (
+        backend == BackendType.pallas
+        and num_features is not None
+        and num_features <= _implicit_feature_cutoff()
+        and itemsize <= 4
+    ):
+        return "implicit"
+    if dept * dept * itemsize <= _k_cache_budget_bytes() * ndev:
+        return "cached"
+    return "implicit"
+
+
+def jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0):
+    """Inverse diagonal of the implicit matrix:
+    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j).
+
+    Row-local, so the row-sharded path computes its shard's slice with the
+    same code."""
+    dtype = X_pad.dtype
+    sq = jnp.sum(X_pad * X_pad, axis=1)
+    if kernel == KernelType.linear:
+        kii = sq
+    elif kernel == KernelType.polynomial:
+        kii = (gamma * sq + coef0) ** degree
+    else:  # rbf: k(x, x) = 1
+        kii = jnp.ones_like(sq)
+    diag = kii + QA_cost - 2.0 * q + cost_inv
+    # A is SPD so diag > 0; guard against FP underflow on degenerate rows
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    return mask / jnp.maximum(diag, tiny)
+
+
 @dataclass
 class MatvecOperator:
     """A v callable plus the scalars the CG solver needs."""

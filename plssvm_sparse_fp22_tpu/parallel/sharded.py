@@ -37,7 +37,7 @@ carry the collective.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,6 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import RESIDUAL_REFRESH_INTERVAL
 from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
 from ..types import KernelType
 from .mesh import DATA_AXIS
@@ -134,37 +133,39 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
     return matvec
 
 
-def _cg_sharded(matvec, b_loc, mask_loc, eps, imax):
-    """CG on row-sharded vectors; same semantics as solver.cg.cg_solve
-    (``gpu_csvm.cpp:186-324``) with psummed scalars."""
-    dtype = b_loc.dtype
-    x0 = mask_loc.astype(dtype)
-    r0 = b_loc - matvec(x0)
-    delta0 = _psum_dot(r0, r0)
-    target = jnp.asarray(eps, dtype) ** 2 * delta0
-    imax = jnp.asarray(imax, jnp.int32)
+def _prepare_local(kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+                   degree, mode, use_pallas, precond):
+    """Shared per-shard setup: q slice, QA_cost, the local matvec, and the
+    optional Jacobi preconditioner slice.  Every sharded learn variant
+    (full / setup / chunk) goes through here so there is exactly one
+    operator construction, mirroring the single ``build_operator`` of the
+    one-chip path."""
+    dtype = X_loc.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    # q_i = k(x_i, x_last): purely local (x_last replicated)
+    q_loc = gram_block(kernel, X_loc, x_last[None, :], degree, gamma, coef0)[:, 0]
+    q_loc = q_loc * mask_loc
+    QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
 
-    def cond(state):
-        k, _x, _r, _d, delta = state
-        return jnp.logical_and(k < imax, delta > target)
+    K_loc = None
+    if mode == "cached":
+        # row slab of K against the full (all-gathered) data
+        X_full = lax.all_gather(X_loc, DATA_AXIS, tiled=True)
+        mask_full = lax.all_gather(mask_loc, DATA_AXIS, tiled=True)
+        K_loc = gram_block(kernel, X_loc, X_full, degree, gamma, coef0)
+        K_loc = K_loc * (mask_loc[:, None] * mask_full[None, :])
 
-    def body(state):
-        k, x, r, d, delta = state
-        Ad = matvec(d)
-        alpha = delta / _psum_dot(d, Ad)
-        x = x + alpha * d
-        r_new = lax.cond(
-            k % RESIDUAL_REFRESH_INTERVAL == RESIDUAL_REFRESH_INTERVAL - 1,
-            lambda _: b_loc - matvec(x),
-            lambda _: r - alpha * Ad,
-            None,
-        )
-        delta_new = _psum_dot(r_new, r_new)
-        beta = delta_new / delta
-        return (k + 1, x, r_new, beta * d + r_new, delta_new)
+    matvec = _build_local_matvec(
+        kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
+        degree, gamma, coef0, mode, K_loc=K_loc, use_pallas=use_pallas,
+    )
+    minv = None
+    if precond == "jacobi":
+        from ..ops.matvec import jacobi_minv
 
-    k, x, _r, _d, delta = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, delta0))
-    return x, k, delta, delta0
+        minv = jacobi_minv(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
+                           degree, gamma, coef0)
+    return q_loc, QA_cost, cost_inv, matvec, minv
 
 
 def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int):
@@ -302,8 +303,9 @@ def shard_system_feature(mesh: Mesh, X_pad, x_last, b_pad, mask):
     )
 
 
+@lru_cache(maxsize=None)
 def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
-                       use_pallas: bool | None = None):
+                       use_pallas: bool | None = None, precond: str = "none"):
     """Build the jitted multi-chip learn step for a given mesh/config.
 
     Returns ``fn(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax)
@@ -312,7 +314,12 @@ def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
 
     ``use_pallas`` switches the implicit ring step to the fused Pallas
     Gram-matvec kernel per hop (default: on when running on real TPUs).
+    ``precond='jacobi'`` enables the diagonal preconditioner — the same
+    feature set as the single-chip CG (the reference has one ``solver_CG``
+    for every backend, ``gpu_csvm.cpp:186-324``; so does this build).
     """
+    from ..solver.cg import cg_solve
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and mode == "implicit"
 
@@ -327,29 +334,128 @@ def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
     )
     def run(X_loc, x_last, b_loc, mask_loc, gamma, coef0, cost, eps, imax):
         dtype = X_loc.dtype
-        cost_inv = jnp.asarray(1.0, dtype) / cost
-        # q_i = k(x_i, x_last): purely local (x_last replicated)
-        q_loc = gram_block(kernel, X_loc, x_last[None, :], degree, gamma, coef0)[:, 0]
-        q_loc = q_loc * mask_loc
-        QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
-
-        K_loc = None
-        if mode == "cached":
-            # row slab of K against the full (all-gathered) data
-            X_full = lax.all_gather(X_loc, DATA_AXIS, tiled=True)
-            mask_full = lax.all_gather(mask_loc, DATA_AXIS, tiled=True)
-            K_loc = gram_block(kernel, X_loc, X_full, degree, gamma, coef0)
-            K_loc = K_loc * (mask_loc[:, None] * mask_full[None, :])
-
-        matvec = _build_local_matvec(
-            kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
-            degree, gamma, coef0, mode, K_loc=K_loc, use_pallas=use_pallas,
+        q_loc, QA_cost, _cost_inv, matvec, minv = _prepare_local(
+            kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+            degree, mode, use_pallas, precond,
         )
-        x_loc, iters, delta, delta0 = _cg_sharded(matvec, b_loc, mask_loc, eps, imax)
+        res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
+                       dot=_psum_dot)
 
-        s = lax.psum(jnp.sum(x_loc), DATA_AXIS)
-        t = _psum_dot(q_loc, x_loc)
-        return x_loc, s, t, QA_cost, iters, delta, delta0
+        s = lax.psum(jnp.sum(res.x), DATA_AXIS)
+        t = _psum_dot(q_loc, res.x)
+        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_learn_fns(mesh: Mesh, kernel: KernelType, degree: int,
+                           mode: str, use_pallas: bool | None = None,
+                           precond: str = "none"):
+    """Chunked multi-chip learn: ``(setup, chunk)`` jits for the
+    checkpoint / verbose-CG driver (the sharded twin of ``_cg_setup_jit`` /
+    ``_cg_chunk_jit`` in ``models/base.py``), sharing ``_prepare_local``
+    and the one CG in ``solver/cg.py``.
+
+    ``setup(X, x_last, b, mask, gamma, coef0, cost) -> (q, QA_cost, state)``
+    with ``q`` and the state vectors row-sharded, scalars replicated;
+    ``chunk(X, b, mask, q_unused, QA_unused, x_last, gamma, coef0, cost, eps,
+    imax_end, state) -> state`` continues CG to ``imax_end`` total
+    iterations.  ``chunk`` rebuilds q/QA from ``x_last`` (cheap, avoids
+    spec plumbing for passing the sharded q back in).
+    """
+    from ..solver.cg import CGState, cg_init, cg_run
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and mode == "implicit"
+
+    state_specs = CGState(k=P(), x=P(DATA_AXIS), r=P(DATA_AXIS),
+                          d=P(DATA_AXIS), delta=P(), delta0=P())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(), state_specs),
+        check_vma=False,
+    )
+    def setup(X_loc, x_last, b_loc, mask_loc, gamma, coef0, cost):
+        q_loc, QA_cost, _ci, matvec, minv = _prepare_local(
+            kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+            degree, mode, use_pallas, precond,
+        )
+        state = cg_init(matvec, b_loc, mask_loc, minv=minv, dot=_psum_dot)
+        return q_loc, QA_cost, state
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+                  P(), P(), P(), P(), P(), state_specs),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def chunk(X_loc, b_loc, mask_loc, x_last, gamma, coef0, cost, eps,
+              imax_end, state):
+        _q, _QA, _ci, matvec, minv = _prepare_local(
+            kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+            degree, mode, use_pallas, precond,
+        )
+        return cg_run(matvec, b_loc, mask_loc, eps, imax_end, state,
+                      minv=minv, dot=_psum_dot)
+
+    return jax.jit(setup), jax.jit(chunk)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_predict(mesh: Mesh, kernel: KernelType, degree: int):
+    """Multi-chip predict: the support-vector axis is sharded, each chip
+    expands its slice of the kernel sum, and one psum replicates the
+    decision values — the XLA-native form of the reference's device-resident
+    multi-buffer predict (``gpu_csvm.cpp:52-127``, ``predict_kernel.cu:32-77``
+    whose atomicAdd scatter a psum replaces).
+
+    Returns ``fn(points, X_sv, alphas, bias, gamma, coef0) -> (npoints,)``
+    with ``points`` replicated, ``X_sv``/``alphas`` row-sharded (zero-padded
+    rows are harmless: their alphas are zero).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(points, X_loc, alpha_loc, bias, gamma, coef0):
+        K = gram_block(kernel, points, X_loc, degree, gamma, coef0)
+        part = jnp.dot(K, alpha_loc, preferred_element_type=points.dtype,
+                       precision=PRECISION)
+        return lax.psum(part, DATA_AXIS) + bias
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_w(mesh: Mesh):
+    """Multi-chip ``w = X^T alpha`` (linear predict fast path,
+    ``gpu_csvm.cpp:327-350``): each chip contracts its row slice, one psum
+    of f floats replicates w."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(X_loc, alpha_loc):
+        return lax.psum(
+            jnp.dot(X_loc.T, alpha_loc, preferred_element_type=X_loc.dtype,
+                    precision=PRECISION),
+            DATA_AXIS,
+        )
 
     return jax.jit(run)
 

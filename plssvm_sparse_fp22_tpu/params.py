@@ -81,6 +81,11 @@ class Parameter:
     #: ill-conditioned systems while keeping the same stopping criterion)
     precond: str = "none"
 
+    #: number of devices to train/predict over; ``None`` -> all visible
+    #: devices (the reference transparently uses every GPU,
+    #: ``gpu_csvm.cpp:130-157``; ``PLSSVM_DEVICES`` env overrides)
+    devices: int | None = None
+
     # ------------------------------------------------------------------ files
 
     def model_name_from_input(self) -> str:

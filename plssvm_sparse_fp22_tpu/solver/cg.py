@@ -61,6 +61,7 @@ def cg_solve(
     imax,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
     minv: jnp.ndarray | None = None,
+    dot: Callable = _dot,
 ) -> CGResult:
     """Solve ``A x = b`` on the padded system.
 
@@ -73,20 +74,25 @@ def cg_solve(
     on the *unpreconditioned* residual ``r.r <= eps^2 * (r0.r0)`` so
     tolerance semantics match the reference's plain CG
     (``gpu_csvm.cpp:293``); a capability extension, not present upstream.
+
+    ``dot`` customizes the inner product — the multi-chip path passes a
+    psummed local dot so the SAME loop runs row-sharded over a mesh (this is
+    the single CG serving every execution path, the role the reference's
+    ``solver_CG`` plays for its five backends, ``gpu_csvm.cpp:186-324``).
     """
-    state = cg_init(matvec, b, mask, minv)
-    state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval, minv)
+    state = cg_init(matvec, b, mask, minv, dot)
+    state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval, minv, dot)
     return CGResult(x=state.x, iterations=state.k, delta=state.delta, delta0=state.delta0)
 
 
 def cg_init(matvec: Callable, b: jnp.ndarray, mask: jnp.ndarray,
-            minv: jnp.ndarray | None = None) -> CGState:
+            minv: jnp.ndarray | None = None, dot: Callable = _dot) -> CGState:
     """Initial CG state: x = 1 on valid entries, r = b - A x
     (``gpu_csvm.cpp:192-223``).  With ``minv``: d0 = M^-1 r0 (PCG)."""
     dtype = b.dtype
     x0 = mask.astype(dtype)
     r0 = b - matvec(x0)
-    delta0 = _dot(r0, r0)
+    delta0 = dot(r0, r0)
     d0 = r0 if minv is None else minv * r0
     return CGState(k=jnp.int32(0), x=x0, r=r0, d=d0, delta=delta0, delta0=delta0)
 
@@ -100,6 +106,7 @@ def cg_run(
     state: CGState,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
     minv: jnp.ndarray | None = None,
+    dot: Callable = _dot,
 ) -> CGState:
     """Continue CG from ``state`` until convergence or ``imax`` total
     iterations.  Pass ``imax = min(state.k + chunk, total)`` to run a
@@ -122,8 +129,8 @@ def cg_run(
         Ad = matvec(s.d)
         # PCG step scalars come from r.z, not r.r; recomputing r.z from the
         # stored r keeps CGState (and checkpoints) identical for both paths
-        rz = s.delta if minv is None else _dot(s.r, minv * s.r)
-        alpha = rz / _dot(s.d, Ad)
+        rz = s.delta if minv is None else dot(s.r, minv * s.r)
+        alpha = rz / dot(s.d, Ad)
         x = s.x + alpha * s.d
 
         def refresh(_):
@@ -135,13 +142,13 @@ def cg_run(
         r_new = lax.cond(
             s.k % refresh_interval == refresh_interval - 1, refresh, update, None
         )
-        delta_new = _dot(r_new, r_new)
+        delta_new = dot(r_new, r_new)
         if minv is None:
             beta = delta_new / s.delta
             d_new = beta * s.d + r_new
         else:
             z_new = minv * r_new
-            beta = _dot(r_new, z_new) / rz
+            beta = dot(r_new, z_new) / rz
             d_new = beta * s.d + z_new
         return CGState(k=s.k + 1, x=x, r=r_new, d=d_new, delta=delta_new,
                        delta0=s.delta0)

@@ -1,0 +1,218 @@
+"""Product-surface multi-chip tests: ``CSVM.learn()``/``predict()`` and the
+CLI transparently use every visible device (8 virtual CPU devices here).
+
+The reference's ``learn()`` transparently spans all GPUs
+(``gpu_csvm.cpp:130-157``); these tests pin that behavior for the TPU build:
+zero new flags, oracle-parity results, and feature-flag parity (checkpoint /
+jacobi / verbose) across the single-chip, sharded, and sparse learn paths.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from plssvm_sparse_fp22_tpu.cli.predict import main as predict_main
+from plssvm_sparse_fp22_tpu.cli.train import main as train_main
+from plssvm_sparse_fp22_tpu.io.libsvm import parse_libsvm_file
+from plssvm_sparse_fp22_tpu.io.model import parse_model_file
+from plssvm_sparse_fp22_tpu.models import make_csvm
+from plssvm_sparse_fp22_tpu.params import Parameter
+from plssvm_sparse_fp22_tpu.types import KernelType
+from plssvm_sparse_fp22_tpu.utils import oracle
+
+from utils import make_blobs
+
+KERNELS = [KernelType.linear, KernelType.polynomial, KernelType.rbf]
+HYPER = {"degree": 3, "gamma": 0.1, "coef0": 1.0}
+# dept >= 1024 so the rows-per-shard cap admits all 8 virtual devices
+N, F = 1100, 16
+
+
+def _write_libsvm(path, X, y):
+    with open(path, "w") as fh:
+        for xi, yi in zip(X, y):
+            feats = " ".join(f"{j + 1}:{v:.10g}" for j, v in enumerate(xi))
+            fh.write(f"{int(yi)} {feats}\n")
+
+
+def _train(X, y, kernel, **overrides):
+    params = Parameter(kernel=kernel, cost=2.0, epsilon=1e-10, max_iter=300,
+                       print_info=False, dtype=np.float64, **HYPER)
+    for k, v in overrides.items():
+        setattr(params, k, v)
+    from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+    import scipy.sparse as sp
+
+    params.data = ParsedData(csr=sp.csr_matrix(X), values=y, _dense=X)
+    params.values = y
+    svm = make_csvm(params)
+    svm.learn()
+    return svm
+
+
+
+def _assert_matches(alphas, bias, alpha_ref, bias_ref, tol=1e-4, sum_tol=5e-3):
+    """Per-alpha parity at CG-trajectory tolerance; alpha_last = -sum(x) and
+    the bias amplify per-element noise by O(n), so they get a wider budget
+    (same rationale as the reference's blocked-summation-aware compares,
+    ``tests/backends/compare.cpp:34-48``)."""
+    np.testing.assert_allclose(alphas[:-1], alpha_ref[:-1], rtol=tol, atol=tol)
+    assert alphas[-1] == pytest.approx(alpha_ref[-1], rel=sum_tol, abs=sum_tol)
+    assert bias == pytest.approx(bias_ref, rel=sum_tol, abs=sum_tol)
+
+@pytest.fixture(scope="module")
+def blobs():
+    return make_blobs(N, F, seed=11)
+
+
+@pytest.fixture(scope="module")
+def oracle_solutions(blobs):
+    X, y = blobs
+    return {
+        kernel: oracle.solve_lssvm(
+            X, y, kernel=kernel, cost=2.0, epsilon=1e-10, max_iter=300, **HYPER
+        )
+        for kernel in KERNELS
+    }
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_csvm_learn_auto_sharded_matches_oracle(kernel, blobs, oracle_solutions):
+    """Zero new flags: ``learn()`` on an 8-device mesh row-shards
+    transparently and matches the numpy oracle."""
+    X, y = blobs
+    svm = _train(X, y, kernel)
+    assert svm.last_cg_info["mode"].startswith("sharded_"), svm.last_cg_info
+    assert svm.last_cg_info["mode"].endswith("[8]")
+    alpha_ref, bias_ref, _ = oracle_solutions[kernel]
+    _assert_matches(svm.alphas, svm.bias_, alpha_ref, bias_ref)
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_csvm_devices_pin_single_chip(kernel, blobs):
+    """``Parameter(devices=1)`` pins the single-chip path; results agree
+    with the auto-sharded run."""
+    X, y = blobs
+    svm1 = _train(X, y, kernel, devices=1)
+    assert not svm1.last_cg_info["mode"].startswith("sharded_")
+    svm8 = _train(X, y, kernel)
+    _assert_matches(svm1.alphas, svm1.bias_, svm8.alphas, svm8.bias_)
+
+
+def test_env_devices_override(blobs, monkeypatch):
+    X, y = blobs
+    monkeypatch.setenv("PLSSVM_DEVICES", "2")
+    svm = _train(X, y, KernelType.rbf)
+    assert svm.last_cg_info["mode"].endswith("[2]")
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_sharded_predict_matches_oracle_decision(kernel, blobs):
+    """Multi-chip predict (SV axis sharded + psum) agrees with the oracle
+    decision function on held-out points."""
+    X, y = blobs
+    svm = _train(X, y, kernel)
+    P, _ = make_blobs(64, F, seed=99)
+    got = svm.predict(P)
+    want = oracle.predict_values(X, svm.alphas, svm.bias_, P, kernel=kernel,
+                                 **HYPER)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("flags", ["jacobi", "checkpoint", "verbose"])
+def test_sharded_feature_flags(flags, blobs, oracle_solutions, tmp_path, capsys):
+    """checkpoint / jacobi / verbose_cg work on the sharded learn path with
+    the same semantics as single-chip (VERDICT r2 #6: one CG everywhere)."""
+    X, y = blobs
+    overrides = {}
+    if flags == "jacobi":
+        overrides["precond"] = "jacobi"
+    elif flags == "checkpoint":
+        overrides["checkpoint_path"] = str(tmp_path / "cg.npz")
+        overrides["checkpoint_interval"] = 20
+    else:
+        overrides["verbose_cg"] = True
+        overrides["print_info"] = True
+    svm = _train(X, y, KernelType.rbf, **overrides)
+    assert svm.last_cg_info["mode"].startswith("sharded_")
+    alpha_ref, bias_ref, _ = oracle_solutions[KernelType.rbf]
+    _assert_matches(svm.alphas, svm.bias_, alpha_ref, bias_ref)
+    if flags == "checkpoint":
+        assert os.path.exists(overrides["checkpoint_path"])
+    if flags == "verbose":
+        assert "Start Iteration" in capsys.readouterr().out
+
+
+def test_sharded_checkpoint_resume(blobs, tmp_path):
+    """A sharded learn interrupted by max_iter resumes from the checkpoint
+    and finishes with the same solution as an uninterrupted run."""
+    X, y = blobs
+    ck = str(tmp_path / "resume.npz")
+    # phase 1: stop early (max_iter 10 < convergence)
+    svm_a = _train(X, y, KernelType.rbf, checkpoint_path=ck, max_iter=10,
+                   checkpoint_interval=5)
+    assert os.path.exists(ck)
+    # phase 2: resume to convergence
+    svm_b = _train(X, y, KernelType.rbf, checkpoint_path=ck, max_iter=300,
+                   checkpoint_interval=5)
+    svm_plain = _train(X, y, KernelType.rbf)
+    _assert_matches(svm_b.alphas, svm_b.bias_, svm_plain.alphas, svm_plain.bias_)
+
+
+@pytest.mark.parametrize("path", ["dense1", "sparse"])
+def test_jacobi_parity_other_paths(path, blobs, oracle_solutions):
+    """precond=jacobi reaches the same solution on the single-chip dense and
+    sparse learn paths (same stopping criterion, fewer/equal iterations)."""
+    X, y = blobs
+    overrides = {"precond": "jacobi"}
+    if path == "dense1":
+        overrides["devices"] = 1
+    else:
+        overrides["sparse_threshold"] = 1.0  # force CSR path
+    svm = _train(X, y, KernelType.rbf, **overrides)
+    alpha_ref, bias_ref, _ = oracle_solutions[KernelType.rbf]
+    _assert_matches(svm.alphas, svm.bias_, alpha_ref, bias_ref)
+
+
+def test_sparse_checkpoint_raises_loudly(blobs, tmp_path):
+    from plssvm_sparse_fp22_tpu.exceptions import PLSSVMError
+
+    X, y = blobs
+    with pytest.raises(PLSSVMError, match="sparse"):
+        _train(X, y, KernelType.rbf, sparse_threshold=1.0,
+               checkpoint_path=str(tmp_path / "x.npz"))
+
+
+def test_cli_train_sharded_parity(tmp_path, blobs):
+    """``plssvm-train`` on the 8-device mesh (no new flags) produces a model
+    whose predictions match a single-device train of the same data."""
+    X, y = blobs
+    train_file = str(tmp_path / "data.libsvm")
+    _write_libsvm(train_file, X, y)
+
+    model8 = str(tmp_path / "m8.model")
+    rc = train_main(["-t", "2", "-g", "0.1", "-c", "2.0", "-e", "1e-10",
+                     "--max_iter", "300", "-q", train_file, model8])
+    assert rc == 0
+
+    model1 = str(tmp_path / "m1.model")
+    os.environ["PLSSVM_DEVICES"] = "1"
+    try:
+        rc = train_main(["-t", "2", "-g", "0.1", "-c", "2.0", "-e", "1e-10",
+                         "--max_iter", "300", "-q", train_file, model1])
+    finally:
+        del os.environ["PLSSVM_DEVICES"]
+    assert rc == 0
+
+    m8, m1 = parse_model_file(model8), parse_model_file(model1)
+    assert m8.rho == pytest.approx(m1.rho, rel=1e-3, abs=1e-3)
+    np.testing.assert_allclose(m8.support_vectors.values,
+                               m1.support_vectors.values, rtol=1e-3, atol=1e-3)
+
+    # and predict through the CLI from the sharded-trained model
+    pred8 = str(tmp_path / "p8.predict")
+    rc = predict_main(["-q", train_file, model8, pred8])
+    assert rc == 0
+    labels = np.loadtxt(pred8)
+    assert np.mean(labels == y) > 0.9
