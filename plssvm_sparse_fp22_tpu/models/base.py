@@ -477,18 +477,44 @@ class CSVM:
             jnp.asarray(imax, jnp.int32),
         )
         if self.kernel == KernelType.linear:
-            ell = ELLMatrix.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            from ..ops.sparse import HybridSparse
+
+            h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
             out = learn_sparse_linear_jit(
-                ell.values, ell.cols, jnp.asarray(x_last),
+                h.ell.values, h.ell.cols, h.coo_rows, h.coo_cols, h.coo_vals,
+                jnp.asarray(x_last),
                 jnp.asarray(b_pad), jnp.asarray(mask), *common, f=f,
                 precond=precond,
             )
             return "sparse_linear", out
 
-        # poly/rbf: Gram assembled once (X never densified), cached CG.
-        # MXU blockwise assembly from ELL for moderate feature widths; host
-        # sparse BLAS for extremely wide data (news20-scale)
+        # poly/rbf: the (D, D) Gram is assembled once ONLY when it fits the
+        # K-cache budget (memory guard); otherwise the streaming implicit
+        # path recomputes kernel blocks from the ELL+COO packing every CG
+        # iteration at O(n*L) memory — the north star (BASELINE.json
+        # config 3).  PLSSVM_SPARSE_MODE forces 'gram' or 'implicit'.
+        from ..ops.matvec import _k_cache_budget_bytes
+
+        sparse_mode = os.environ.get("PLSSVM_SPARSE_MODE", "auto")
+        gram_fits = D * D * jnp.dtype(self.dtype).itemsize <= _k_cache_budget_bytes()
+        if sparse_mode == "implicit" or (sparse_mode != "gram" and not gram_fits):
+            from ..ops.sparse import HybridSparse
+            from .sparse_learn import learn_sparse_implicit_jit
+
+            h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+            out = learn_sparse_implicit_jit(
+                h.ell.values, h.ell.cols, h.coo_rows, h.coo_cols, h.coo_vals,
+                jnp.asarray(x_last), jnp.asarray(b_pad), jnp.asarray(mask),
+                jnp.asarray(self.gamma, self.dtype),
+                jnp.asarray(self.coef0, self.dtype), *common,
+                kernel=self.kernel, degree=self.degree, f=f, precond=precond,
+            )
+            return "sparse_implicit", out
+
+        # Gram path: MXU blockwise assembly from ELL for moderate feature
+        # widths; host sparse BLAS for extremely wide data (news20-scale)
         from ..ops.sparse import device_gram_from_ell, device_gram_max_features
 
         if f <= device_gram_max_features():

@@ -37,28 +37,82 @@ def _diag_minv(kii, q, mask, QA_cost, cost_inv):
 
 
 @partial(jax.jit, static_argnames=("f", "precond"))
-def learn_sparse_linear_jit(vals, cols, x_last_dense, b_pad, mask, cost, eps, imax,
+def learn_sparse_linear_jit(vals, cols, coo_rows, coo_cols, coo_vals,
+                            x_last_dense, b_pad, mask, cost, eps, imax,
                             *, f, precond: str = "none"):
-    """Linear-kernel learn over ELL-packed rows; O(nnz) per CG iteration."""
+    """Linear-kernel learn over the ELL+COO hybrid packing; O(nnz) per CG
+    iteration, robust to skewed row fills (one dense row no longer inflates
+    every row's ELL padding)."""
+    from ..ops.sparse import (HybridSparse, hybrid_matvec, hybrid_rmatvec,
+                              hybrid_row_sqnorms)
+
     dtype = vals.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
-    ell = ELLMatrix(values=vals, cols=cols, shape=(vals.shape[0], f))
+    h = HybridSparse(
+        ell=ELLMatrix(values=vals, cols=cols, shape=(vals.shape[0], f)),
+        coo_rows=coo_rows, coo_cols=coo_cols, coo_vals=coo_vals,
+    )
 
-    q = ell_matvec(ell, x_last_dense) * mask
+    q = hybrid_matvec(h, x_last_dense) * mask
     QA_cost = jnp.dot(
         x_last_dense, x_last_dense, preferred_element_type=dtype, precision=PRECISION
     ) + cost_inv
 
     def matvec(v):
-        u = ell_rmatvec(ell, v)  # X^T v : scatter into feature space
-        Kv = ell_matvec(ell, u)  # X u   : gather back to rows
+        u = hybrid_rmatvec(h, v)  # X^T v : scatter into feature space
+        Kv = hybrid_matvec(h, u)  # X u   : gather back to rows
         return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
     minv = None
     if precond == "jacobi":
-        from ..ops.sparse import ell_row_sqnorms
+        minv = _diag_minv(hybrid_row_sqnorms(h), q, mask, QA_cost, cost_inv)
+    res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
+    s = jnp.sum(res.x)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
-        minv = _diag_minv(ell_row_sqnorms(ell), q, mask, QA_cost, cost_inv)
+
+@partial(jax.jit, static_argnames=("kernel", "degree", "f", "precond", "bm", "bn"))
+def learn_sparse_implicit_jit(vals, cols, coo_rows, coo_cols, coo_vals,
+                              x_last_dense, b_pad, mask, gamma, coef0, cost,
+                              eps, imax, *, kernel, degree, f,
+                              precond: str = "none", bm=None, bn=None):
+    """Streaming sparse poly/rbf learn — CG over the implicit kernel matrix
+    recomputed blockwise from the ELL+COO packing every iteration: O(n·L)
+    memory, no (n, n) Gram, no (n, f) densification (the north star;
+    BASELINE.json config 3).  The reference cannot run this regime at all
+    (always densifies, ``parameter.hpp:51-75``)."""
+    from ..ops.sparse import (HybridSparse, ELLMatrix, hybrid_matvec,
+                              make_streaming_gram_matvec)
+
+    dtype = vals.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    h = HybridSparse(
+        ell=ELLMatrix(values=vals, cols=cols, shape=(vals.shape[0], f)),
+        coo_rows=coo_rows, coo_cols=coo_cols, coo_vals=coo_vals,
+    )
+    kv_fn, sq = make_streaming_gram_matvec(
+        h, int(kernel), degree, gamma, coef0, bm=bm, bn=bn)
+
+    g_last = hybrid_matvec(h, x_last_dense)  # <x_i, x_last>
+    sq_last = jnp.dot(x_last_dense, x_last_dense,
+                      preferred_element_type=dtype, precision=PRECISION)
+    if kernel == KernelType.polynomial:
+        q = jax.lax.integer_pow(gamma * g_last + coef0, degree) * mask
+        QA_cost = jax.lax.integer_pow(gamma * sq_last + coef0, degree) + cost_inv
+        kii = jax.lax.integer_pow(gamma * sq + coef0, degree)
+    else:  # rbf
+        d2 = sq + sq_last - 2.0 * g_last
+        q = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask
+        QA_cost = jnp.asarray(1.0, dtype) + cost_inv
+        kii = jnp.ones_like(sq)
+
+    def matvec(v):
+        return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)
+
+    minv = None
+    if precond == "jacobi":
+        minv = _diag_minv(kii, q, mask, QA_cost, cost_inv)
     res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
