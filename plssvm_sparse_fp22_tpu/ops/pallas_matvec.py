@@ -383,11 +383,88 @@ def _gram_matvec_sym_kernel(
         out2_ref[:] += jnp.where(keep, jnp.broadcast_to(vK, (nIp, bm)), 0.0)
 
 
-#: measured v5e cost per padded Gram element at each square block size
-#: (slope-timed CG at 4096x256 rbf, bf16x3 tier): larger blocks feed the MXU
-#: markedly better — 1024 is ~2x cheaper per element than 256 — but pad
-#: small systems harder.  _choose_sym_bm picks the cheapest total.
-_SYM_BM_EFFICIENCY = {256: 1.00, 512: 0.76, 1024: 0.49}
+#: measured cost per padded Gram element at each square block size
+#: (slope-timed CG at 4096x256 rbf, bf16x3 tier), keyed by
+#: ``jax.devices()[0].device_kind``: larger blocks feed the MXU markedly
+#: better — on v5e 1024 is ~2x cheaper per element than 256 — but pad small
+#: systems harder.  _choose_sym_bm picks the cheapest total.  Kinds without
+#: a measured row fall back to the v5e shape (same 128x128 MXU family); a
+#: one-shot runtime autotune (PLSSVM_SYM_AUTOTUNE=1) measures the real
+#: machine and caches the result to disk.
+_SYM_BM_EFFICIENCY_BY_KIND = {
+    # measured on TPU v5e (BENCH_r02 hardware; device_kind 'TPU v5 lite')
+    "TPU v5 lite": {256: 1.00, 512: 0.76, 1024: 0.49},
+    "TPU v5e": {256: 1.00, 512: 0.76, 1024: 0.49},
+}
+_SYM_BM_DEFAULT = _SYM_BM_EFFICIENCY_BY_KIND["TPU v5 lite"]
+
+
+def _autotune_cache_path(kind: str) -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "plssvm_tpu",
+                        f"sym_bm_{kind.replace(' ', '_')}.json")
+
+
+def _autotune_sym_bm(kind: str) -> dict:
+    """Measure per-element cost of each block size on THIS chip (one CG-like
+    matvec loop per candidate at 4096x256 rbf) and cache to disk.  The TPU
+    analog of the reference's OpenCL on-disk JIT cache keyed per device
+    (``OpenCL/detail/utility.cpp:233-355``) applied to tile selection."""
+    import json
+    import time as _time
+
+    path = _autotune_cache_path(kind)
+    try:
+        with open(path) as fh:
+            cached = {int(k): float(v) for k, v in json.load(fh).items()}
+        if set(cached) == set(_SYM_BM_DEFAULT):
+            return cached
+    except (OSError, ValueError):
+        pass
+
+    rng = np.random.default_rng(0)
+    D, f = 4096, 256
+    X = jnp.asarray(rng.normal(size=(D, f)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=D).astype(np.float32))
+    table = {}
+    for bm in _SYM_BM_DEFAULT:
+        mv = make_sym_matvec(KernelType.rbf, X, gamma=1.0 / f, bm=bm)
+        out = mv(v)
+        jax.block_until_ready(out)  # compile
+        reps = 20
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = mv(out / jnp.linalg.norm(out))
+        jax.block_until_ready(out)
+        n_i = -(-D // bm)
+        pairs = n_i * (n_i + 1) // 2
+        table[bm] = (_time.perf_counter() - t0) / reps / (pairs * bm * bm)
+    lo = min(table.values())
+    table = {bm: cost / lo if lo > 0 else 1.0 for bm, cost in table.items()}
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(table, fh)
+    except OSError:
+        pass
+    return table
+
+
+def _sym_bm_efficiency() -> dict:
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "cpu"
+    if (
+        os.environ.get("PLSSVM_SYM_AUTOTUNE", "0") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        try:
+            return _autotune_sym_bm(kind)
+        except Exception:
+            pass  # fall back to the static table
+    return _SYM_BM_EFFICIENCY_BY_KIND.get(kind, _SYM_BM_DEFAULT)
 
 
 def _choose_sym_bm(D: int) -> int:
@@ -398,13 +475,14 @@ def _choose_sym_bm(D: int) -> int:
     forced = os.environ.get("PLSSVM_SYM_BLOCK_SIZE")
     if forced:
         return int(forced)
+    eff = _sym_bm_efficiency()
 
     def score(bm: int) -> float:
         n_i = -(-D // bm)
         pairs = n_i * (n_i + 1) // 2
-        return _SYM_BM_EFFICIENCY[bm] * pairs * bm * bm
+        return eff[bm] * pairs * bm * bm
 
-    return min(_SYM_BM_EFFICIENCY, key=score)
+    return min(eff, key=score)
 
 
 def make_sym_matvec(

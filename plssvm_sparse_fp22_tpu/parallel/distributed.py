@@ -39,8 +39,10 @@ def initialize_distributed(
     Returns True when a multi-process runtime was initialized (idempotent;
     False on single-process setups where initialization isn't needed).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: probe via is_initialized(), NOT jax.process_count() — the latter
+    # initializes the local backend, after which distributed init is refused
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -292,3 +292,42 @@ def test_cg_refresh_interval_semantics():
     # approximate solutions; compare loosely
     np.testing.assert_allclose(np.asarray(res.x)[:dept], alpha_ref[:dept], rtol=1e-3, atol=1e-5)
     assert float(res.delta) <= 1e-16 * float(res.delta0)
+
+
+class TestSymBlockTable:
+    """Per-device-kind block-size table + autotune cache (VERDICT r2 #8)."""
+
+    def test_known_kind_table_used(self):
+        from plssvm_sparse_fp22_tpu.ops import pallas_matvec as pm
+
+        assert pm._SYM_BM_EFFICIENCY_BY_KIND["TPU v5 lite"][1024] == 0.49
+        # unknown kinds (and the CPU test runner) fall back to the default
+        eff = pm._sym_bm_efficiency()
+        assert set(eff) == {256, 512, 1024}
+
+    def test_choose_sym_bm_env_override(self, monkeypatch):
+        from plssvm_sparse_fp22_tpu.ops import pallas_matvec as pm
+
+        monkeypatch.setenv("PLSSVM_SYM_BLOCK_SIZE", "512")
+        assert pm._choose_sym_bm(4096) == 512
+        monkeypatch.delenv("PLSSVM_SYM_BLOCK_SIZE")
+        # large systems pick the cheapest-per-element block
+        assert pm._choose_sym_bm(16384) == 1024
+        # tiny systems avoid quadratic padding blowup
+        assert pm._choose_sym_bm(256) == 256
+
+    def test_autotune_cache_roundtrip(self, monkeypatch, tmp_path):
+        """A cached autotune table is read back instead of re-measuring."""
+        import json
+
+        from plssvm_sparse_fp22_tpu.ops import pallas_matvec as pm
+
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+        path = pm._autotune_cache_path("TPU vX test")
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump({"256": 1.0, "512": 0.9, "1024": 0.8}, fh)
+        table = pm._autotune_sym_bm("TPU vX test")
+        assert table == {256: 1.0, 512: 0.9, 1024: 0.8}
