@@ -489,15 +489,40 @@ class CSVM:
             )
             return "sparse_linear", out
 
-        # poly/rbf: the (D, D) Gram is assembled once ONLY when it fits the
-        # K-cache budget (memory guard); otherwise the streaming implicit
-        # path recomputes kernel blocks from the ELL+COO packing every CG
-        # iteration at O(n*L) memory — the north star (BASELINE.json
-        # config 3).  PLSSVM_SPARSE_MODE forces 'gram' or 'implicit'.
+        # poly/rbf sparse tiers, fastest applicable wins (memory-guarded):
+        #   1. 'gram'    — (D, D) Gram assembled once, cached GEMV CG
+        #                  (~75% of HBM roofline); needs D^2 in the K budget.
+        #   2. 'dense'   — densify X only (D x f << D^2 when f << D) and run
+        #                  the Pallas implicit symmetric kernel (~80% of MXU
+        #                  peak); needs D*f in the budget.  This is the big
+        #                  middle regime (many rows, moderate features) where
+        #                  the reference's always-densify strategy also
+        #                  lives — here it rides the flagship kernel.
+        #   3. 'implicit'— streaming CG from the ELL+COO packing at O(n*L)
+        #                  memory: kernel blocks recomputed every iteration —
+        #                  the only option when even dense X exceeds HBM
+        #                  (the north star regime, BASELINE.json config 3).
+        # PLSSVM_SPARSE_MODE forces 'gram' / 'dense' / 'implicit'.
         from ..ops.matvec import _k_cache_budget_bytes
 
+        itemsize = jnp.dtype(self.dtype).itemsize
         sparse_mode = os.environ.get("PLSSVM_SPARSE_MODE", "auto")
-        gram_fits = D * D * jnp.dtype(self.dtype).itemsize <= _k_cache_budget_bytes()
+        gram_fits = D * D * itemsize <= _k_cache_budget_bytes()
+        dense_x_fits = D * f * itemsize <= _k_cache_budget_bytes()
+        if sparse_mode == "dense" or (
+            sparse_mode == "auto" and not gram_fits and dense_x_fits
+        ):
+            X_pad = np.zeros((D, f), dtype=self.dtype)
+            X_pad[:dept] = csr[:dept].toarray()
+            x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+            out = _learn_jit(
+                jnp.asarray(X_pad), jnp.asarray(x_last), jnp.asarray(b_pad),
+                jnp.asarray(mask), jnp.asarray(self.gamma, self.dtype),
+                jnp.asarray(self.coef0, self.dtype), *common,
+                kernel=self.kernel, degree=self.degree, mode="implicit",
+                backend=self.backend, precond=precond,
+            )
+            return "sparse_dense_implicit", out
         if sparse_mode == "implicit" or (sparse_mode != "gram" and not gram_fits):
             from ..ops.sparse import HybridSparse
             from .sparse_learn import learn_sparse_implicit_jit

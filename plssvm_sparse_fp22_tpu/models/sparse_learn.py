@@ -1,13 +1,15 @@
-"""Sparse-data training paths (CSR-retained; never densifies X).
+"""Sparse-data training paths (CSR-retained).
 
-Two strategies, selected by :meth:`CSVM.learn` when the parsed data's
-density is below ``Parameter.sparse_threshold``:
+Selected by :meth:`CSVM.learn` when the parsed data's density is below
+``Parameter.sparse_threshold``:
 
-- linear kernel: fully implicit ELL matvec CG on device
+- linear kernel: fully implicit ELL+COO matvec CG on device
   (``K v = X (X^T v)`` with nnz-proportional products, ``ops/sparse.py``),
-- polynomial/RBF: the (dept, dept) Gram is assembled once from CSR on the
-  host (scipy sparse BLAS), shipped to HBM, and the kernel transform +
-  cached-mode CG run on device.  X itself never densifies.
+- polynomial/RBF, three memory-guarded tiers (``models/base.py
+  _learn_sparse``): (1) Gram assembled once → cached GEMV CG; (2) densify
+  X only → flagship Pallas implicit kernel; (3) streaming CG from the
+  ELL+COO packing at O(n·L) memory when even dense X exceeds the budget
+  (:func:`learn_sparse_implicit_jit`, the north-star regime).
 
 The reference has no equivalent: it always densifies
 (``parameter.hpp:51-75``) and would exhaust memory on wide sparse data.

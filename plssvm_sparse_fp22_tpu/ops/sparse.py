@@ -14,10 +14,13 @@ feeds TPU-native sparse execution:
   nnz-proportional: a row-gather product for ``X u`` and a
   ``segment_sum`` scatter for ``X^T v``.  Fully implicit — O(nnz) memory,
   every CG iteration on device.
-- **poly/RBF over sparse features**: the Gram matrix is assembled once from
-  CSR on the host (scipy sparse BLAS, no densification of X) and shipped to
-  HBM for cached-mode CG; the O(n^2) iterations stay on the MXU.  (A fully
-  streaming sparse Gram Pallas kernel is the planned next step.)
+- **poly/RBF over sparse features**: three memory-guarded tiers (see
+  ``models/base.py _learn_sparse``): one-shot Gram assembly (device
+  blockwise MXU or host SpGEMM) for cached-mode CG; densify-X-only onto
+  the flagship Pallas implicit kernel; and the fully streaming
+  :func:`make_streaming_gram_matvec` that recomputes kernel blocks from
+  the ELL+COO packing every iteration at O(n·L) memory — the only option
+  when even dense X exceeds HBM.
 """
 
 from __future__ import annotations
@@ -241,6 +244,20 @@ def _transform_block(kernel_int: int, G, sq_i, sq_j, degree, gamma, coef0):
     return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
 
 
+def streaming_stream_strategy(L: int, f: int) -> str:
+    """Pick the streaming-block contraction strategy: ``mxu`` scatter-
+    densifies both blocks and runs a dense MXU product (O(bm·f·bn) FLOPs at
+    matrix-unit rate); ``gather`` contracts ELL slots against the panel on
+    the VPU (O(nnz·bn) ops).  Measured on v5e (4096 rows, f=2048, L~100)
+    the MXU path is ~80x faster, so the gather path only wins at extreme
+    sparsity — roughly density below ~1/1024 (news20-scale, f ~ 1.3M,
+    density 0.03%).  ``PLSSVM_SPARSE_STREAM`` forces either."""
+    forced = os.environ.get("PLSSVM_SPARSE_STREAM", "auto")
+    if forced in ("mxu", "gather"):
+        return forced
+    return "gather" if L * 1024 < f else "mxu"
+
+
 def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
                                gamma, coef0, *, bm: int | None = None,
                                bn: int | None = None):
@@ -249,26 +266,37 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
     (n, f) dense data are NEVER materialized (closes the reference's
     always-densify capability gap, ``parameter.hpp:51-75``).
 
-    Per column block J (size ``bn``): the J rows are scatter-densified into
-    a transposed (f, bn) panel once, then every row block I (size ``bm``)
-    contracts its ELL slots against the panel with a vectorized gather —
-    O(nnz_I · bn) work instead of O(bm · f · bn) dense FLOPs, the win
-    whenever the row fill L is far below f (news20-scale data).  The fused
-    kernel transform and the ``@ v_J`` epilogue run on the block while it is
-    live, so per-iteration traffic is O(n²·L̄/bn reads + n writes).
+    Two contraction strategies (:func:`streaming_stream_strategy`):
+
+    - ``mxu`` (default): per block pair, both sparse blocks are
+      scatter-densified on the fly — the J panel transposed to (f, bn), the
+      I block to (bm, f) — and the Gram block is one dense MXU product.
+      Peak live memory is two dense blocks; the full dense X never exists.
+      Runs at dense-implicit speed (the MXU's rate advantage dwarfs the
+      nnz-proportional saving for all but extreme sparsity).
+    - ``gather``: every row block I contracts its ELL slots against the J
+      panel with a vectorized gather — O(nnz_I · bn) VPU work instead of
+      O(bm · f · bn) MXU FLOPs, the win only when the row fill L is
+      orders of magnitude below f (news20-scale data).
+
+    The fused kernel transform and the ``@ v_J`` epilogue run on the block
+    while it is live, so per-iteration HBM traffic stays O(n²·L̄/bn + n).
 
     Rows beyond the real data must be zero (zero slots contribute nothing).
     """
     n, f = h.shape
     L = h.ell.row_capacity
+    strategy = streaming_stream_strategy(L, f)
     if bm is None:
         bm = 512 if n % 512 == 0 else 128
     if bn is None:
-        bn = 128
+        bn = (512 if strategy == "mxu" else 128) if n % 512 == 0 else 128
     if n % bm != 0 or n % bn != 0:
         raise ValueError(f"padded rows {n} must divide by bm={bm}, bn={bn}")
     nI, nJ = n // bm, n // bn
     dtype = h.ell.values.dtype
+
+    from .kernel_functions import PRECISION
 
     sq = hybrid_row_sqnorms(h)
     Vb = h.ell.values.reshape(nI, bm, L)
@@ -276,6 +304,7 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
     sqb = sq.reshape(nI, bm)
     has_tail = int(h.coo_vals.shape[0]) > 0
     row_in_block = jnp.arange(bn)[:, None]  # (bn, 1) broadcast vs (bn, L)
+    row_in_bm = jnp.arange(bm)[:, None]  # (bm, 1) broadcast vs (bm, L)
 
     def matvec(v):
         v = v.astype(dtype)
@@ -291,26 +320,51 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
                 jloc = jnp.clip(h.coo_rows - j0, 0, bn - 1)
                 XJdT = XJdT.at[h.coo_cols, jloc].add(
                     jnp.where(in_j, h.coo_vals, 0.0))
-                # I-side tail: G[r, :] += val_e * XJdT[col_e, :] for every
-                # tail entry e of row r
-                G_tail = jax.ops.segment_sum(
-                    h.coo_vals[:, None] * XJdT[h.coo_cols], h.coo_rows,
-                    num_segments=n,
-                ).reshape(nI, bm, bn)
-            else:
-                G_tail = jnp.zeros((nI, 1, 1), dtype)  # broadcast no-op
             vJ = jax.lax.dynamic_slice(v, (j0,), (bn,))
             sqJ = jax.lax.dynamic_slice(sq, (j0,), (bn,))
 
-            def i_fn(args):
-                vals_i, cols_i, sq_i, tail_i = args
-                gath = XJdT[cols_i]  # (bm, L, bn) vectorized gather
-                G = jnp.einsum("ml,mlb->mb", vals_i, gath) + tail_i
-                K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
-                                     gamma, coef0)
-                return K @ vJ  # (bm,)
+            if strategy == "mxu":
+                def i_fn(args):
+                    vals_i, cols_i, sq_i, i0 = args
+                    # scatter-densify the I block and hit the MXU: the
+                    # (bm, f) x (f, bn) product runs at matrix-unit rate —
+                    # ~80x the gather path on v5e at news20-unlike densities
+                    Xi = jnp.zeros((bm, f), dtype).at[row_in_bm, cols_i].add(vals_i)
+                    if has_tail:
+                        in_i = jnp.logical_and(h.coo_rows >= i0,
+                                               h.coo_rows < i0 + bm)
+                        iloc = jnp.clip(h.coo_rows - i0, 0, bm - 1)
+                        Xi = Xi.at[iloc, h.coo_cols].add(
+                            jnp.where(in_i, h.coo_vals, 0.0))
+                    G = jnp.dot(Xi, XJdT, preferred_element_type=dtype,
+                                precision=PRECISION)
+                    K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
+                                         gamma, coef0)
+                    return K @ vJ  # (bm,)
 
-            contrib = jax.lax.map(i_fn, (Vb, Cb, sqb, G_tail)).reshape(n)
+                xs = (Vb, Cb, sqb, jnp.arange(nI, dtype=jnp.int32) * bm)
+            else:
+                if has_tail:
+                    # I-side tail: G[r, :] += val_e * XJdT[col_e, :] for
+                    # every tail entry e of row r
+                    G_tail = jax.ops.segment_sum(
+                        h.coo_vals[:, None] * XJdT[h.coo_cols], h.coo_rows,
+                        num_segments=n,
+                    ).reshape(nI, bm, bn)
+                else:
+                    G_tail = jnp.zeros((nI, 1, 1), dtype)  # broadcast no-op
+
+                def i_fn(args):
+                    vals_i, cols_i, sq_i, tail_i = args
+                    gath = XJdT[cols_i]  # (bm, L, bn) vectorized gather
+                    G = jnp.einsum("ml,mlb->mb", vals_i, gath) + tail_i
+                    K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
+                                         gamma, coef0)
+                    return K @ vJ  # (bm,)
+
+                xs = (Vb, Cb, sqb, G_tail)
+
+            contrib = jax.lax.map(i_fn, xs).reshape(n)
             return acc + contrib, None
 
         acc0 = jnp.zeros((n,), dtype)
