@@ -1,7 +1,17 @@
 """Headline benchmark: CG iterations/s on the implicit RBF kernel-matvec.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "iters/s", "vs_baseline": N}``.
+Prints ONE JSON line whose headline keys are stable across rounds:
+``{"metric": ..., "value": N, "unit": "iters/s", "vs_baseline": N, ...}``.
+The same line also carries the mode-breadth and roofline survey under
+``"modes"`` / ``"roofline"``:
+
+- per-mode CG iters/s for every execution strategy the framework ships
+  (implicit Pallas, cached-K GEMV, linear two-GEMM, streaming sparse),
+- the roofline position of the two hot modes: achieved MXU FLOP/s as a
+  fraction of the chip's bf16 peak for the implicit symmetric kernel
+  (hardware FLOPs: 3-pass split-bf16 over triangular block pairs), and
+  achieved HBM bandwidth as a fraction of the chip's peak for the cached-K
+  GEMV (BASELINE.md: "kernel-matvec at HBM roofline per chip").
 
 Measures the flagship configuration from BASELINE.json: RBF-kernel LS-SVM
 CG where the implicit kernel matrix is never materialized — each iteration
@@ -13,12 +23,13 @@ iteration count (eps=0 disables the convergence stop).
 implementation of the same implicit-matvec CG algorithm the reference's
 OpenMP backend executes per iteration (full kernel-matrix product each
 iteration, ``OpenMP/svm_kernel.cpp:21-47``) on this host's CPU.  The
-reference publishes no benchmark numbers (BASELINE.md), so the its
+reference publishes no benchmark numbers (BASELINE.md), so its
 algorithm-on-CPU is the honest comparable.
 
 Environment knobs: PLSSVM_BENCH_N (default 4096), PLSSVM_BENCH_F (256),
 PLSSVM_BENCH_ITERS (256; the lo/hi iteration span must dwarf per-dispatch
-timing noise of the remote-TPU relay), PLSSVM_BENCH_MODE (implicit).
+timing noise of the remote-TPU relay), PLSSVM_BENCH_MODE (implicit),
+PLSSVM_BENCH_MODES=0 to skip the per-mode survey (headline only).
 """
 
 import json
@@ -30,13 +41,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+#: per-chip peaks from the public TPU system specs, keyed by
+#: ``jax.devices()[0].device_kind``: (dense bf16 TFLOP/s, HBM GB/s)
+_CHIP_PEAKS = {
+    "TPU v3": (123.0, 900.0),
+    "TPU v4": (275.0, 1228.0),
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5": (459.0, 2765.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v6 lite": (918.0, 1640.0),
+    "TPU v6e": (918.0, 1640.0),
+}
 
-def _bench_jax(X, gamma, iters, mode, backend_name):
-    """CG iterations/s via a two-point slope: time the same program at two
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _slope_rate(run, lo, hi, trials=5):
+    """Iterations/s via a two-point slope: time the same program at two
     iteration caps with fresh right-hand sides and divide the difference.
     This cancels constant dispatch/transfer overhead and defeats any
     result-level caching between identical requests (observed through the
     remote-TPU relay)."""
+    run(0, lo)  # compile both iteration counts (same program: imax is traced)
+    samples = []
+    for trial in range(trials):
+        t_lo = run(100 + trial, lo)
+        t_hi = run(200 + trial, hi)
+        if t_hi > t_lo:
+            samples.append((t_hi - t_lo) / (hi - lo))
+    if not samples:
+        return hi / run(300, hi)
+    # median: robust against relay dispatch-latency outliers in either
+    # direction (a min would keep noise-deflated samples)
+    samples.sort()
+    return 1.0 / samples[len(samples) // 2]
+
+
+def _make_dense_runner(X, gamma, kernel_name, mode, backend_name):
     import jax
     import jax.numpy as jnp
     from plssvm_sparse_fp22_tpu.models.base import _learn_jit
@@ -45,7 +89,7 @@ def _bench_jax(X, gamma, iters, mode, backend_name):
     n, f = X.shape
     dept = n - 1
     block = 256
-    D = ((dept + block - 1) // block) * block
+    D = _round_up(dept, block)
     dtype = np.float32
 
     X_pad = np.zeros((D, f), dtype=dtype)
@@ -53,7 +97,7 @@ def _bench_jax(X, gamma, iters, mode, backend_name):
     mask = np.zeros(D, dtype=dtype)
     mask[:dept] = 1.0
 
-    kw = dict(kernel=KernelType.rbf, degree=3, mode=mode,
+    kw = dict(kernel=KernelType.from_string(kernel_name), degree=3, mode=mode,
               backend=BackendType.from_string(backend_name))
     X_dev = jnp.asarray(X_pad)
     xl_dev = jnp.asarray(X[-1].astype(dtype))
@@ -77,23 +121,94 @@ def _bench_jax(X, gamma, iters, mode, backend_name):
         assert int(out[4]) == n_iters
         return elapsed
 
-    lo, hi = max(4, iters // 4), iters
-    run(0, lo)  # compile both iteration counts (same program: imax is traced)
-    per_iter = float("inf")
-    samples = []
-    for trial in range(5):
-        t_lo = run(100 + trial, lo)
-        t_hi = run(200 + trial, hi)
-        if t_hi > t_lo:
-            samples.append((t_hi - t_lo) / (hi - lo))
-    if not samples:
-        per_iter = run(300, hi) / hi
-    else:
-        # median: robust against relay dispatch-latency outliers in either
-        # direction (a min would keep noise-deflated samples)
-        samples.sort()
-        per_iter = samples[len(samples) // 2]
-    return 1.0 / per_iter
+    return run, D
+
+
+def _make_sparse_runner(n, f, density, gamma):
+    """Streaming sparse implicit rbf (the fork's north star, BASELINE.json
+    config 3): CG over ELL+COO-packed CSR, kernel blocks recomputed on the
+    fly — no (n, n) Gram, no densified X."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from plssvm_sparse_fp22_tpu.models.sparse_learn import learn_sparse_implicit_jit
+    from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
+    from plssvm_sparse_fp22_tpu.types import KernelType
+
+    rng = np.random.default_rng(7)
+    csr = sp.random(n, f, density=density, format="csr", dtype=np.float32,
+                    random_state=rng)
+    dept = n - 1
+    D = _round_up(dept, 256)
+    dtype = np.float32
+    h = HybridSparse.from_csr(csr[:dept], dtype=dtype, pad_rows=D)
+    x_last = np.asarray(csr[-1].todense()).ravel().astype(dtype)
+    mask = np.zeros(D, dtype=dtype)
+    mask[:dept] = 1.0
+    mask_dev = jnp.asarray(mask)
+    xl_dev = jnp.asarray(x_last)
+
+    def run(seed, n_iters):
+        r = np.random.default_rng(seed)
+        b_pad = np.zeros(D, dtype=dtype)
+        b_pad[:dept] = np.where(r.normal(size=dept) > 0, 2.0, -2.0)
+        t0 = time.perf_counter()
+        out = learn_sparse_implicit_jit(
+            h.ell.values, h.ell.cols, h.coo_rows, h.coo_cols, h.coo_vals,
+            xl_dev, jnp.asarray(b_pad), mask_dev,
+            jnp.asarray(gamma, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
+            jnp.asarray(n_iters, jnp.int32),
+            kernel=KernelType.rbf, degree=3, f=f,
+        )
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - t0
+        assert int(out[4]) == n_iters
+        return elapsed
+
+    return run
+
+
+def _implicit_roofline(D, f, iters_per_s, peak_tflops):
+    """Roofline position of the symmetric Pallas implicit matvec: hardware
+    MXU FLOP/s (3-pass split-bf16 over lower-triangular block pairs, the
+    tier the headline runs) vs the chip's dense bf16 peak, plus the useful
+    (algorithmic f32) FLOP fraction 2*dept^2*f."""
+    from jax import lax
+    from plssvm_sparse_fp22_tpu.ops.pallas_matvec import (
+        PALLAS_PRECISION, _choose_sym_bm, symmetric_enabled)
+
+    if not symmetric_enabled() or PALLAS_PRECISION != lax.Precision.HIGH:
+        return None
+    bm = _choose_sym_bm(D)
+    bk = 256 if bm >= 1024 else 512
+    Dp = _round_up(D, bm)
+    fp = _round_up(_round_up(f, 128), min(bk, _round_up(f, 128)))
+    nI = Dp // bm
+    T = nI * (nI + 1) // 2
+    hw_flops = 3 * 2 * T * bm * bm * fp          # 3 bf16 passes, triangular
+    useful_flops = 2 * (D - 1) ** 2 * f          # one exact Gram matvec
+    hbm_bytes = T * 2 * bm * fp * 2 * 2          # hi+lo bf16 blocks per pair
+    out = {
+        "sym_block": bm,
+        "hw_tflops": hw_flops * iters_per_s / 1e12,
+        "useful_tflops": useful_flops * iters_per_s / 1e12,
+    }
+    if peak_tflops:
+        out["mxu_peak_frac"] = out["hw_tflops"] / peak_tflops
+        out["useful_mfu"] = out["useful_tflops"] / peak_tflops
+    out["hbm_gbs"] = hbm_bytes * iters_per_s / 1e9
+    return out
+
+
+def _cached_roofline(D, iters_per_s, peak_gbs):
+    """The cached-K GEMV reads the (D, D) f32 kernel slab once per
+    iteration — pure HBM-bandwidth roofline (BASELINE.md)."""
+    bytes_per_iter = D * D * 4
+    out = {"hbm_gbs": bytes_per_iter * iters_per_s / 1e9}
+    if peak_gbs:
+        out["hbm_peak_frac"] = out["hbm_gbs"] / peak_gbs
+    return out
 
 
 def _bench_numpy_baseline(X, gamma, iters):
@@ -133,6 +248,7 @@ def main():
     f = int(os.environ.get("PLSSVM_BENCH_F", 256))
     iters = int(os.environ.get("PLSSVM_BENCH_ITERS", 256))
     mode = os.environ.get("PLSSVM_BENCH_MODE", "implicit")
+    survey = os.environ.get("PLSSVM_BENCH_MODES", "1") not in ("0", "off")
     gamma = 1.0 / f
 
     rng = np.random.default_rng(42)
@@ -142,16 +258,67 @@ def main():
 
     # the fused Pallas kernel is the flagship implicit path on TPU; the plain
     # XLA path everywhere else
-    backend_name = "pallas" if jax.default_backend() == "tpu" else "xla"
-    value = _bench_jax(X, gamma, iters, mode, backend_name)
+    on_tpu = jax.default_backend() == "tpu"
+    backend_name = "pallas" if on_tpu else "xla"
+    kind = jax.devices()[0].device_kind
+    peak_tflops, peak_gbs = _CHIP_PEAKS.get(kind, (None, None))
+
+    lo, hi = max(4, iters // 4), iters
+    run, D = _make_dense_runner(X, gamma, "rbf", mode, backend_name)
+    try:
+        value = _slope_rate(run, lo, hi)
+    except Exception:
+        # transient relay/TPU device errors have been observed; one retry
+        time.sleep(10)
+        value = _slope_rate(run, lo, hi)
     baseline = _bench_numpy_baseline(X, gamma, iters)
 
-    print(json.dumps({
+    result = {
         "metric": f"cg_iters_per_s_rbf_{n}x{f}_{mode}_{jax.default_backend()}",
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / baseline, 3),
-    }))
+        "device_kind": kind,
+    }
+
+    if survey:
+        modes = {f"{mode}_rbf": round(value, 3)}
+        lo2, hi2 = max(4, iters // 8), max(8, iters // 2)
+        for name, kern, m in (("cached_rbf", "rbf", "cached"),
+                              ("linear", "linear", "linear")):
+            if name.startswith(mode):
+                continue
+            try:
+                r, _ = _make_dense_runner(X, gamma, kern, m, backend_name)
+                modes[name] = round(_slope_rate(r, lo2, hi2, trials=3), 3)
+            except Exception as exc:  # a failed extra never kills the headline
+                modes[name] = f"error: {type(exc).__name__}"
+        try:
+            sparse_run = _make_sparse_runner(n, 8 * f, 0.05, gamma)
+            modes["sparse_stream_rbf"] = round(
+                _slope_rate(sparse_run, lo2, hi2, trials=3), 3)
+        except Exception as exc:
+            modes["sparse_stream_rbf"] = f"error: {type(exc).__name__}"
+        result["modes"] = modes
+
+        roofline = {}
+        if on_tpu and mode == "implicit":
+            imp = _implicit_roofline(D, f, value, peak_tflops)
+            if imp:
+                roofline["implicit_sym"] = {
+                    k: round(v, 4) if isinstance(v, float) else v
+                    for k, v in imp.items()
+                }
+        if isinstance(modes.get("cached_rbf"), float):
+            roofline["cached_gemv"] = {
+                k: round(v, 4)
+                for k, v in _cached_roofline(D, modes["cached_rbf"], peak_gbs).items()
+            }
+        if peak_tflops:
+            roofline["chip_peak"] = {"bf16_tflops": peak_tflops, "hbm_gbs": peak_gbs}
+        result["roofline"] = roofline
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
