@@ -165,7 +165,12 @@ def build_operator(
     row_block: int = ROW_BLOCK_SIZE,
 ) -> MatvecOperator:
     """Construct the implicit-A matvec for the padded system."""
+    from ..utils.assertions import plssvm_assert
+
     D, _ = X_pad.shape
+    plssvm_assert(q.shape == (D,) and mask.shape == (D,),
+                  "operator vectors must match the padded system: q {} mask {} D {}",
+                  q.shape, mask.shape, D)
     dtype = X_pad.dtype
     QA_cost = jnp.asarray(QA_cost, dtype)
     cost_inv = jnp.asarray(cost_inv, dtype)

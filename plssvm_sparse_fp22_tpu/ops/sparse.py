@@ -137,6 +137,11 @@ class HybridSparse:
         ell = ELLMatrix(values=jnp.asarray(values), cols=jnp.asarray(cols),
                         shape=(rows_out, f))
         tail_sel = ~in_ell
+        from ..utils.assertions import plssvm_assert
+
+        plssvm_assert(int(in_ell.sum()) + int(tail_sel.sum()) == csr.nnz,
+                      "hybrid packing lost nonzeros: {} + {} != {}",
+                      int(in_ell.sum()), int(tail_sel.sum()), csr.nnz)
         return HybridSparse(
             ell=ell,
             coo_rows=jnp.asarray(rows[tail_sel].astype(np.int32)),

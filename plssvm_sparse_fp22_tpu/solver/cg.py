@@ -80,6 +80,13 @@ def cg_solve(
     the single CG serving every execution path, the role the reference's
     ``solver_CG`` plays for its five backends, ``gpu_csvm.cpp:186-324``).
     """
+    from ..utils.assertions import plssvm_assert
+
+    plssvm_assert(b.shape == mask.shape,
+                  "CG system vectors disagree: b {} vs mask {}", b.shape, mask.shape)
+    plssvm_assert(minv is None or minv.shape == b.shape,
+                  "preconditioner diagonal shape {} != system shape {}",
+                  None if minv is None else minv.shape, b.shape)
     state = cg_init(matvec, b, mask, minv, dot)
     state = cg_run(matvec, b, mask, eps, imax, state, refresh_interval, minv, dot)
     return CGResult(x=state.x, iterations=state.k, delta=state.delta, delta0=state.delta0)

@@ -1,0 +1,82 @@
+"""Debug-assert layer tests (PLSSVM_ASSERT analog, ``assert.hpp:36-65``).
+
+The reference covers its assert macro with a death test
+(``tests/base_test.cpp`` assert death test); here the Python equivalent
+checks the exception, the message format, and the enable switch.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from plssvm_sparse_fp22_tpu.utils import assertions
+from plssvm_sparse_fp22_tpu.utils.assertions import (
+    PLSSVMAssertionError, plssvm_assert)
+
+
+class TestPlssvmAssert:
+    def test_disabled_is_noop(self, monkeypatch):
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", False)
+        plssvm_assert(False, "never raised")  # must not raise
+
+    def test_enabled_passes_on_true(self, monkeypatch):
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        plssvm_assert(True, "fine")
+
+    def test_enabled_raises_with_location(self, monkeypatch):
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        with pytest.raises(PLSSVMAssertionError) as exc:
+            plssvm_assert(False, "x must be {}, got {}", 4, 5)
+        msg = str(exc.value)
+        # formatted message + source-located frame (what_with_loc parity)
+        assert "Assertion 'x must be 4, got 5' failed!" in msg
+        assert "test_assertions.py" in msg
+        assert "in function" in msg
+
+    def test_lazy_formatting(self, monkeypatch):
+        """The message is only formatted on failure — a bad format spec
+        must not break a passing assert."""
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        plssvm_assert(True, "{0} {1}")  # would raise IndexError if formatted
+
+    def test_env_switch_read_at_import(self, monkeypatch):
+        # documented contract: the env var acts like the reference's
+        # compile-time macro — changing it post-import has no effect
+        monkeypatch.setenv("PLSSVM_ENABLE_ASSERTS", "1")
+        assert assertions.ASSERTS_ENABLED in (True, False)
+
+
+class TestWiredInvariants:
+    """The assert layer guards real internal invariants when enabled."""
+
+    def test_cg_shape_invariant(self, monkeypatch):
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        from plssvm_sparse_fp22_tpu.solver.cg import cg_solve
+
+        b = jnp.ones(8, jnp.float32)
+        mask = jnp.ones(4, jnp.float32)  # wrong shape
+        with pytest.raises(PLSSVMAssertionError, match="disagree"):
+            cg_solve(lambda v: v, b, mask, 1e-3, 10)
+
+    def test_operator_shape_invariant(self, monkeypatch):
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        from plssvm_sparse_fp22_tpu.ops.matvec import build_operator
+        from plssvm_sparse_fp22_tpu.types import KernelType
+
+        X = jnp.ones((8, 4), jnp.float32)
+        with pytest.raises(PLSSVMAssertionError, match="padded system"):
+            build_operator(KernelType.linear, X, jnp.zeros(6), jnp.ones(8),
+                           0.0, 1.0, mode="linear")
+
+    def test_hybrid_packing_invariant_passes(self, monkeypatch):
+        """Conservation holds on a real packing (assert enabled, no raise)."""
+        monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
+        import scipy.sparse as sp
+
+        from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
+
+        rng = np.random.default_rng(3)
+        csr = sp.random(40, 30, density=0.2, format="csr", random_state=rng)
+        h = HybridSparse.from_csr(csr, dtype=np.float64)
+        assert h.ell.shape == (40, 30)
