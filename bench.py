@@ -169,6 +169,47 @@ def _make_sparse_runner(n, f, density, gamma):
     return run
 
 
+def _time_to_tolerance(n, f, backend_name):
+    """The literal BASELINE.json metric: wall time for a full `learn()` to
+    the 1e-6 CG tolerance on a separable two-blob dataset, through the
+    product surface (make_csvm), plus training accuracy."""
+    import scipy.sparse as sp
+    from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+    from plssvm_sparse_fp22_tpu.models import make_csvm
+    from plssvm_sparse_fp22_tpu.params import Parameter
+    from plssvm_sparse_fp22_tpu.types import BackendType, KernelType
+
+    rng = np.random.default_rng(11)
+    half = n // 2
+    X = np.vstack([rng.normal(-0.4, 1.0, size=(half, f)),
+                   rng.normal(0.4, 1.0, size=(n - half, f))]).astype(np.float32)
+    y = np.concatenate([-np.ones(half), np.ones(n - half)])
+    perm = rng.permutation(n)
+    X, y = X[perm], y[perm]
+
+    def fresh():
+        params = Parameter(kernel=KernelType.rbf, gamma=1.0 / f, cost=1.0,
+                           epsilon=1e-6, print_info=False, dtype=np.float32,
+                           backend=BackendType.from_string(backend_name))
+        params.data = ParsedData(csr=sp.csr_matrix(X), values=y, _dense=X)
+        params.values = y
+        return make_csvm(params)
+
+    fresh().learn()  # compile warmup
+    svm = fresh()
+    t0 = time.perf_counter()
+    svm.learn()
+    seconds = time.perf_counter() - t0
+    return {
+        "seconds": round(seconds, 4),
+        "iterations": svm.last_cg_info["iterations"],
+        "converged": svm.last_cg_info["delta"]
+        <= 1e-12 * svm.last_cg_info["delta0"],
+        "mode": svm.last_cg_info["mode"],
+        "train_accuracy_pct": round(100.0 * svm.accuracy(), 2),
+    }
+
+
 def _implicit_roofline(D, f, iters_per_s, peak_tflops):
     """Roofline position of the symmetric Pallas implicit matvec: hardware
     MXU FLOP/s (3-pass split-bf16 over lower-triangular block pairs, the
@@ -300,6 +341,12 @@ def main():
         except Exception as exc:
             modes["sparse_stream_rbf"] = f"error: {type(exc).__name__}"
         result["modes"] = modes
+
+        try:
+            result["time_to_tolerance_1e6"] = _time_to_tolerance(
+                n, f, backend_name)
+        except Exception as exc:
+            result["time_to_tolerance_1e6"] = f"error: {type(exc).__name__}"
 
         roofline = {}
         if on_tpu and mode == "implicit":

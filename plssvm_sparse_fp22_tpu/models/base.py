@@ -232,7 +232,9 @@ class CSVM:
         # the scaling axis is rows, so the cap is rows-per-shard >= PAD_SIZE)
         ndev = min(self._num_devices(), max(1, dept // PAD_SIZE))
 
-        if self._use_sparse():
+        if self._use_sparse() and ndev > 1:
+            mode, out = self._learn_sparse_sharded(dept, f, y, imax, ndev)
+        elif self._use_sparse():
             D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
             b_pad, mask = self._padded_vectors(D, dept, y)
             mode, out = self._learn_sparse(D, dept, f, b_pad, mask, imax)
@@ -457,6 +459,64 @@ class CSVM:
         t = jnp.dot(jnp.asarray(q, dtype), state.x,
                     preferred_element_type=dtype, precision=PRECISION)
         return mode, (state.x, s, t, QA_cost, state.k, state.delta, state.delta0)
+
+    def _learn_sparse_sharded(self, dept, f, y, imax, ndev):
+        """Multi-chip learn on CSR-retained data (transparent, zero flags).
+
+        - linear: row-sharded ELL+COO CG — nnz-proportional work per chip,
+          O(f) comms per iteration (`parallel/sharded.py`
+          `make_sharded_sparse_linear_learn`).  Beyond the reference, whose
+          multi-GPU path requires dense data (``gpu_csvm.cpp:130-157``).
+        - poly/rbf: when dense X fits the memory budget, densify and ride
+          the sharded dense path (ring implicit / sharded cached);
+          otherwise fall back to the single-chip streaming tier (the only
+          O(n*L)-memory option).
+        """
+        if self.kernel == KernelType.linear:
+            if self.params.checkpoint_path is not None or self.params.verbose_cg:
+                raise PLSSVMError(
+                    "--checkpoint/--verbose_cg are not supported on the "
+                    "sparse learn path; set sparse_threshold=0 to force the "
+                    "dense path"
+                )
+            from ..ops.sparse import HybridSparse
+            from ..parallel.sharded import (make_sharded_sparse_linear_learn,
+                                            shard_sparse_system)
+
+            csr = self.data.csr
+            D = _round_up(dept, PAD_SIZE * ndev)
+            b_pad, mask = self._padded_vectors(D, dept, y)
+            h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+            mesh = self._mesh(ndev)
+            learn = make_sharded_sparse_linear_learn(
+                mesh, precond=str(self.params.precond))
+            args = shard_sparse_system(mesh, h, b_pad, mask)
+            out = learn(
+                *args[:5], jnp.asarray(x_last), *args[5:],
+                jnp.asarray(self.cost, self.dtype),
+                jnp.asarray(self.epsilon, self.dtype),
+                jnp.asarray(imax, jnp.int32),
+            )
+            return f"sharded_sparse_linear[{ndev}]", out
+
+        from ..ops.matvec import _k_cache_budget_bytes
+
+        itemsize = jnp.dtype(self.dtype).itemsize
+        dept_pad = _round_up(dept, PAD_SIZE * ndev)
+        forced_tier = os.environ.get("PLSSVM_SPARSE_MODE", "auto") != "auto"
+        if not forced_tier and (
+            dept_pad * f * itemsize <= _k_cache_budget_bytes() * ndev
+        ):
+            # densify once (budget-gated) and use every chip via the dense
+            # sharded path; self.data.dense densifies the CSR on demand
+            return self._learn_dense_sharded(dept, f, y, imax, ndev)
+        # beyond-budget poly/rbf (or an explicitly forced sparse tier):
+        # single-chip sparse — streaming is the only O(n*L)-memory option
+        # (ring-sharded streaming is future work)
+        D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+        b_pad, mask = self._padded_vectors(D, dept, y)
+        return self._learn_sparse(D, dept, f, b_pad, mask, imax)
 
     def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
         from ..ops.sparse import ELLMatrix, host_gram_from_csr

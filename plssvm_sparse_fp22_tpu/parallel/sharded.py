@@ -469,3 +469,122 @@ def shard_system(mesh: Mesh, X_pad, b_pad, mask):
         jax.device_put(b_pad, row_sharding),
         jax.device_put(mask, row_sharding),
     )
+
+
+def shard_sparse_system(mesh: Mesh, h, b_pad, mask):
+    """Place a padded ELL+COO hybrid system on the mesh (rows sharded).
+
+    The ELL slabs shard naturally by row.  The COO overflow tail is split by
+    owning shard with row indices rebased shard-locally and padded to a
+    uniform per-shard count (padding entries have value 0, so they are
+    inert).  Returns ``(vals, cols, trow, tcol, tval, b, mask)`` device
+    arrays ready for :func:`make_sharded_sparse_linear_learn`.
+    """
+    p = mesh.devices.size
+    n = h.ell.shape[0]
+    if n % p != 0:
+        raise ValueError(f"padded rows {n} must divide over the {p}-device mesh")
+    rows_per = n // p
+    trows = np.asarray(h.coo_rows)
+    tcols = np.asarray(h.coo_cols)
+    tvals = np.asarray(h.coo_vals)
+    dtype = tvals.dtype
+    sid = trows // rows_per if trows.size else np.zeros(0, np.int64)
+    m_max = max(1, int(np.bincount(sid, minlength=p).max()) if trows.size else 1)
+    R = np.zeros((p, m_max), np.int32)
+    C = np.zeros((p, m_max), np.int32)
+    V = np.zeros((p, m_max), dtype)
+    for s in range(p):
+        sel = sid == s
+        k = int(sel.sum())
+        R[s, :k] = trows[sel] - s * rows_per
+        C[s, :k] = tcols[sel]
+        V[s, :k] = tvals[sel]
+
+    row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    mat_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    return (
+        jax.device_put(h.ell.values, mat_sharding),
+        jax.device_put(h.ell.cols, mat_sharding),
+        jax.device_put(R, mat_sharding),
+        jax.device_put(C, mat_sharding),
+        jax.device_put(V, mat_sharding),
+        jax.device_put(b_pad, row_sharding),
+        jax.device_put(mask, row_sharding),
+    )
+
+
+@lru_cache(maxsize=None)
+def make_sharded_sparse_linear_learn(mesh: Mesh, precond: str = "none"):
+    """Row-sharded sparse linear-kernel learn over the ELL+COO hybrid
+    packing — the sparse twin of the dense ``linear`` sharded mode, for
+    datasets whose *sparse* form spans multiple chips (BASELINE.json
+    config 5 regime).  Beyond the reference, whose multi-GPU path is dense
+    + feature-split + linear-only (``gpu_csvm.cpp:130-157``).
+
+    Each chip holds its (D/p, L) ELL slab and shard-local COO tail; per CG
+    iteration ``u = psum(X_loc^T v_loc)`` (f floats over ICI/DCN) then
+    ``Kv_loc = X_loc u`` — nnz-proportional work per chip, O(f) comms.
+
+    Returns ``fn(vals, cols, trow, tcol, tval, x_last_dense, b, mask, cost,
+    eps, imax) -> (x, s, t, QA_cost, iterations, delta, delta0)`` with the
+    system arrays sharded as produced by :func:`shard_sparse_system`.
+    """
+    from ..solver.cg import cg_solve
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(vals, cols, trow, tcol, tval, x_last, b_loc, mask_loc,
+            cost, eps, imax):
+        dtype = vals.dtype
+        f = x_last.shape[0]
+        m_loc = vals.shape[0]
+        trow_l, tcol_l, tval_l = trow[0], tcol[0], tval[0]
+        cost_inv = jnp.asarray(1.0, dtype) / cost
+
+        def mv(u):  # X_loc @ u : (f,) -> (D/p,)
+            out = jnp.sum(vals * u[cols], axis=1)
+            return out + jax.ops.segment_sum(tval_l * u[tcol_l], trow_l,
+                                             num_segments=m_loc)
+
+        def rmv(v_loc):  # X_loc^T v_loc : (D/p,) -> (f,) partial
+            out = jax.ops.segment_sum((vals * v_loc[:, None]).ravel(),
+                                      cols.ravel(), num_segments=f)
+            return out + jax.ops.segment_sum(tval_l * v_loc[trow_l], tcol_l,
+                                             num_segments=f)
+
+        q_loc = mv(x_last) * mask_loc
+        QA_cost = jnp.dot(x_last, x_last, preferred_element_type=dtype,
+                          precision=PRECISION) + cost_inv
+
+        def matvec(v_loc):
+            u = lax.psum(rmv(v_loc), DATA_AXIS)
+            Kv_loc = mv(u)
+            s = lax.psum(jnp.sum(v_loc), DATA_AXIS)
+            t = _psum_dot(q_loc, v_loc)
+            return (mask_loc * Kv_loc + (QA_cost * s - t) * mask_loc
+                    - s * q_loc + cost_inv * v_loc)
+
+        minv = None
+        if precond == "jacobi":
+            sq_loc = jnp.sum(vals * vals, axis=1) + jax.ops.segment_sum(
+                tval_l * tval_l, trow_l, num_segments=m_loc)
+            diag = sq_loc + QA_cost - 2.0 * q_loc + cost_inv
+            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            minv = mask_loc / jnp.maximum(diag, tiny)
+
+        res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
+                       dot=_psum_dot)
+        s = lax.psum(jnp.sum(res.x), DATA_AXIS)
+        t = _psum_dot(q_loc, res.x)
+        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+    return jax.jit(run)

@@ -176,12 +176,19 @@ def test_jacobi_parity_other_paths(path, blobs, oracle_solutions):
 
 
 def test_sparse_checkpoint_raises_loudly(blobs, tmp_path):
+    """Paths that genuinely cannot checkpoint refuse loudly (single-chip
+    sparse); sparse rbf *within the memory budget on a mesh* densifies onto
+    the sharded dense path and therefore checkpoints fine."""
     from plssvm_sparse_fp22_tpu.exceptions import PLSSVMError
 
     X, y = blobs
     with pytest.raises(PLSSVMError, match="sparse"):
-        _train(X, y, KernelType.rbf, sparse_threshold=1.0,
+        _train(X, y, KernelType.rbf, sparse_threshold=1.0, devices=1,
                checkpoint_path=str(tmp_path / "x.npz"))
+
+    svm = _train(X, y, KernelType.rbf, sparse_threshold=1.0,
+                 checkpoint_path=str(tmp_path / "ok.npz"))
+    assert svm.last_cg_info["mode"].startswith("sharded_")
 
 
 def test_cli_train_sharded_parity(tmp_path, blobs):
@@ -216,3 +223,79 @@ def test_cli_train_sharded_parity(tmp_path, blobs):
     assert rc == 0
     labels = np.loadtxt(pred8)
     assert np.mean(labels == y) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# sparse data on a multi-chip mesh (transparent, zero flags)
+# ---------------------------------------------------------------------------
+
+def _random_sparse(n, f, density=0.15, seed=0):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    csr = sp.random(n, f, density=density, format="csr", random_state=rng,
+                    data_rvs=lambda k: rng.normal(size=k))
+    for i in range(n):
+        if csr.indptr[i] == csr.indptr[i + 1]:
+            csr[i, rng.integers(f)] = rng.normal()
+    csr = csr.tocsr()
+    y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+    return csr, y
+
+
+def _train_sparse(csr, y, kernel, **overrides):
+    params = Parameter(kernel=kernel, cost=2.0, epsilon=1e-10, max_iter=300,
+                       print_info=False, dtype=np.float64,
+                       sparse_threshold=1.0, **HYPER)
+    for k, v in overrides.items():
+        setattr(params, k, v)
+    from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+
+    params.data = ParsedData(csr=csr, values=y)
+    params.values = y
+    svm = make_csvm(params)
+    svm.learn()
+    return svm
+
+
+@pytest.fixture(scope="module")
+def sparse_blobs():
+    return _random_sparse(N, 40, density=0.15, seed=41)
+
+
+class TestSparseSharded:
+    def test_sparse_linear_spans_mesh(self, sparse_blobs):
+        """Linear CSR data row-shards over all 8 devices (ELL+COO shards,
+        psummed feature-space product) and matches the dense result."""
+        csr, y = sparse_blobs
+        svm_s = _train_sparse(csr, y, KernelType.linear)
+        assert svm_s.last_cg_info["mode"] == "sharded_sparse_linear[8]", \
+            svm_s.last_cg_info
+        svm_d = _train(csr.toarray(), y, KernelType.linear, devices=1)
+        _assert_matches(svm_s.alphas, svm_s.bias_, svm_d.alphas, svm_d.bias_)
+
+    def test_sparse_linear_sharded_jacobi(self, sparse_blobs):
+        csr, y = sparse_blobs
+        svm = _train_sparse(csr, y, KernelType.linear, precond="jacobi")
+        assert svm.last_cg_info["mode"] == "sharded_sparse_linear[8]"
+        svm_d = _train(csr.toarray(), y, KernelType.linear, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
+
+    def test_sparse_rbf_densifies_onto_mesh(self, sparse_blobs):
+        """poly/rbf sparse data within the memory budget densifies and uses
+        the sharded dense path (every chip), not the single-chip tier."""
+        csr, y = sparse_blobs
+        svm = _train_sparse(csr, y, KernelType.rbf)
+        assert svm.last_cg_info["mode"].startswith("sharded_")
+        assert svm.last_cg_info["mode"].endswith("[8]")
+        svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
+
+    def test_sparse_rbf_beyond_budget_single_chip_streams(self, sparse_blobs,
+                                                          monkeypatch):
+        """When even dense X exceeds the budget, the learn falls back to the
+        single-chip streaming tier (the only O(n*L)-memory option)."""
+        monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "1000")
+        csr, y = sparse_blobs
+        svm = _train_sparse(csr, y, KernelType.rbf, max_iter=25)
+        assert svm.last_cg_info["mode"] == "sparse_implicit"
