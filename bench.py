@@ -60,24 +60,10 @@ def _round_up(x, m):
 
 
 def _slope_rate(run, lo, hi, trials=5):
-    """Iterations/s via a two-point slope: time the same program at two
-    iteration caps with fresh right-hand sides and divide the difference.
-    This cancels constant dispatch/transfer overhead and defeats any
-    result-level caching between identical requests (observed through the
-    remote-TPU relay)."""
-    run(0, lo)  # compile both iteration counts (same program: imax is traced)
-    samples = []
-    for trial in range(trials):
-        t_lo = run(100 + trial, lo)
-        t_hi = run(200 + trial, hi)
-        if t_hi > t_lo:
-            samples.append((t_hi - t_lo) / (hi - lo))
-    if not samples:
-        return hi / run(300, hi)
-    # median: robust against relay dispatch-latency outliers in either
-    # direction (a min would keep noise-deflated samples)
-    samples.sort()
-    return 1.0 / samples[len(samples) // 2]
+    """Two-point-slope iterations/s — see ``utils.timing.slope_rate``."""
+    from plssvm_sparse_fp22_tpu.utils.timing import slope_rate
+
+    return slope_rate(run, lo, hi, trials=trials)
 
 
 def _make_dense_runner(X, gamma, kernel_name, mode, backend_name):
@@ -210,7 +196,7 @@ def _time_to_tolerance(n, f, backend_name):
     }
 
 
-def _implicit_roofline(D, f, iters_per_s, peak_tflops):
+def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops):
     """Roofline position of the symmetric Pallas implicit matvec: hardware
     MXU FLOP/s (3-pass split-bf16 over lower-triangular block pairs, the
     tier the headline runs) vs the chip's dense bf16 peak, plus the useful
@@ -228,7 +214,7 @@ def _implicit_roofline(D, f, iters_per_s, peak_tflops):
     nI = Dp // bm
     T = nI * (nI + 1) // 2
     hw_flops = 3 * 2 * T * bm * bm * fp          # 3 bf16 passes, triangular
-    useful_flops = 2 * (D - 1) ** 2 * f          # one exact Gram matvec
+    useful_flops = 2 * dept ** 2 * f             # one exact Gram matvec
     hbm_bytes = T * 2 * bm * fp * 2 * 2          # hi+lo bf16 blocks per pair
     out = {
         "sym_block": bm,
@@ -350,7 +336,7 @@ def main():
 
         roofline = {}
         if on_tpu and mode == "implicit":
-            imp = _implicit_roofline(D, f, value, peak_tflops)
+            imp = _implicit_roofline(D, n - 1, f, value, peak_tflops)
             if imp:
                 roofline["implicit_sym"] = {
                     k: round(v, 4) if isinstance(v, float) else v

@@ -288,11 +288,17 @@ class CSVM:
         """Devices to span, mirroring the reference's transparent use of
         every visible GPU (``CUDA/csvm.cu:52``).  ``Parameter.devices`` or
         ``PLSSVM_DEVICES`` pins a count; capped at what's visible."""
-        if self.params.devices is not None:
-            n = int(self.params.devices)
-        else:
-            env = os.environ.get("PLSSVM_DEVICES", "")
-            n = int(env) if env else jax.device_count()
+        try:
+            if self.params.devices is not None:
+                n = int(self.params.devices)
+            else:
+                env = os.environ.get("PLSSVM_DEVICES", "")
+                n = int(env) if env else jax.device_count()
+        except (TypeError, ValueError) as exc:
+            raise PLSSVMError(
+                f"Invalid device count (Parameter.devices / PLSSVM_DEVICES): "
+                f"{exc}"
+            ) from None
         return max(1, min(n, jax.device_count()))
 
     def _padded_vectors(self, D, dept, y):
@@ -572,6 +578,11 @@ class CSVM:
         if sparse_mode == "dense" or (
             sparse_mode == "auto" and not gram_fits and dense_x_fits
         ):
+            # f64 note: cached (the exact-f64 preference of choose_mode) is
+            # unaffordable here by construction; the Pallas implicit kernel
+            # handles f64 inputs by computing in f32 and casting back
+            # (documented 1e-4 budget, ops/pallas_matvec.py) — the same
+            # contract as every dense f64-on-TPU run
             X_pad = np.zeros((D, f), dtype=self.dtype)
             X_pad[:dept] = csr[:dept].toarray()
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)

@@ -30,12 +30,7 @@ from ..solver.cg import cg_solve
 from ..types import KernelType
 
 
-def _diag_minv(kii, q, mask, QA_cost, cost_inv):
-    """Jacobi preconditioner from the kernel diagonal:
-    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j)."""
-    diag = kii + QA_cost - 2.0 * q + cost_inv
-    tiny = jnp.asarray(jnp.finfo(kii.dtype).tiny, kii.dtype)
-    return mask / jnp.maximum(diag, tiny)
+from ..ops.matvec import jacobi_minv_from_kii as _diag_minv  # one formula
 
 
 @partial(jax.jit, static_argnames=("f", "precond"))

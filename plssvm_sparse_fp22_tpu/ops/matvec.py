@@ -60,18 +60,25 @@ def _implicit_feature_cutoff() -> int:
     f = 4·peak/(3·BW) ~ 320.  Implicit also needs only O(nf) memory.
 
     With the symmetric kernel disabled the implicit path runs the full
-    (non-triangular) kernel at 2x the FLOPs, so the crossover halves."""
-    cutoff = int(os.environ.get("PLSSVM_IMPLICIT_FEATURE_CUTOFF", 320))
+    (non-triangular) kernel at 2x the FLOPs, so the *default* crossover
+    halves; an explicitly set PLSSVM_IMPLICIT_FEATURE_CUTOFF is honored
+    verbatim."""
+    env = os.environ.get("PLSSVM_IMPLICIT_FEATURE_CUTOFF")
+    if env is not None:
+        return int(env)
     from .pallas_matvec import symmetric_enabled
 
-    return cutoff if symmetric_enabled() else cutoff // 2
+    return 320 if symmetric_enabled() else 160
 
 
 def choose_mode(kernel: KernelType, dept: int, dtype,
                 num_features: int | None = None,
-                backend: BackendType | None = None) -> str:
+                backend: BackendType | None = None,
+                budget_scale: int = 1) -> str:
     """Pick the execution mode (analog of ``determine_default_backend``,
-    ``backend_types.cpp:51-74``, but over matvec strategies)."""
+    ``backend_types.cpp:51-74``, but over matvec strategies).
+    ``budget_scale`` multiplies the K-cache budget (the sharded learn
+    splits the cached-K slab over that many chips)."""
     if kernel == KernelType.linear:
         return "linear"
     itemsize = jnp.dtype(dtype).itemsize
@@ -84,7 +91,7 @@ def choose_mode(kernel: KernelType, dept: int, dtype,
         # narrow data: recomputing the Gram block on the MXU each iteration
         # is faster than streaming a cached K from HBM, at O(nf) memory
         return "implicit"
-    if dept * dept * itemsize <= _k_cache_budget_bytes():
+    if dept * dept * itemsize <= _k_cache_budget_bytes() * budget_scale:
         return "cached"
     return "implicit"
 
@@ -92,31 +99,28 @@ def choose_mode(kernel: KernelType, dept: int, dtype,
 def choose_sharded_mode(kernel: KernelType, dept: int, dtype, ndev: int,
                         num_features: int | None = None,
                         backend: BackendType | None = None) -> str:
-    """Mode selection for the row-sharded multi-chip learn: same policy as
-    :func:`choose_mode` but the cached-K slab is split over ``ndev`` chips,
-    so the K-cache budget applies per device."""
-    if kernel == KernelType.linear:
-        return "linear"
-    itemsize = jnp.dtype(dtype).itemsize
-    if (
-        backend == BackendType.pallas
-        and num_features is not None
-        and num_features <= _implicit_feature_cutoff()
-        and itemsize <= 4
-    ):
-        return "implicit"
-    if dept * dept * itemsize <= _k_cache_budget_bytes() * ndev:
-        return "cached"
-    return "implicit"
+    """Mode selection for the row-sharded multi-chip learn: one policy
+    (:func:`choose_mode`) with the K-cache budget applied per device."""
+    return choose_mode(kernel, dept, dtype, num_features=num_features,
+                       backend=backend, budget_scale=ndev)
+
+
+def jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv):
+    """Inverse diagonal of the implicit matrix from the kernel diagonal:
+    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j).
+    The ONE place the preconditioner formula lives — every learn path
+    (dense, sparse, sharded) builds its ``kii`` and calls this."""
+    diag = kii + QA_cost - 2.0 * q + cost_inv
+    # A is SPD so diag > 0; guard against FP underflow on degenerate rows
+    tiny = jnp.asarray(jnp.finfo(kii.dtype).tiny, kii.dtype)
+    return mask / jnp.maximum(diag, tiny)
 
 
 def jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0):
-    """Inverse diagonal of the implicit matrix:
-    A_ii = K_ii + QA_cost - 2 q_i + 1/C (``svm_kernel.cu:67-83`` with i=j).
+    """:func:`jacobi_minv_from_kii` with ``kii`` computed from dense rows.
 
     Row-local, so the row-sharded path computes its shard's slice with the
     same code."""
-    dtype = X_pad.dtype
     sq = jnp.sum(X_pad * X_pad, axis=1)
     if kernel == KernelType.linear:
         kii = sq
@@ -124,10 +128,7 @@ def jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0)
         kii = (gamma * sq + coef0) ** degree
     else:  # rbf: k(x, x) = 1
         kii = jnp.ones_like(sq)
-    diag = kii + QA_cost - 2.0 * q + cost_inv
-    # A is SPD so diag > 0; guard against FP underflow on degenerate rows
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    return mask / jnp.maximum(diag, tiny)
+    return jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
 
 
 @dataclass

@@ -55,6 +55,20 @@ def _psum_dot(a, b):
     return lax.psum(jnp.dot(a, b, preferred_element_type=a.dtype, precision=PRECISION), DATA_AXIS)
 
 
+def _local_corrections(Kv_loc, v_loc, q_loc, mask_loc, QA_cost, cost_inv):
+    """Shard-local rank-1 + diagonal corrections (two psummed scalars) —
+    the sharded twin of ``ops/matvec._corrections``, shared by every
+    sharded matvec (dense and sparse)."""
+    s = lax.psum(jnp.sum(v_loc), DATA_AXIS)
+    t = _psum_dot(q_loc, v_loc)
+    return (
+        mask_loc * Kv_loc
+        + (QA_cost * s - t) * mask_loc
+        - s * q_loc
+        + cost_inv * v_loc
+    )
+
+
 def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
                         degree, gamma, coef0, mode, K_loc=None,
                         use_pallas=False):
@@ -63,15 +77,8 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
     num = lax.axis_size(DATA_AXIS)
 
     def corrections(Kv_loc, v_loc):
-        # rank-1 + diagonal corrections need only two psummed scalars
-        s = lax.psum(jnp.sum(v_loc), DATA_AXIS)
-        t = _psum_dot(q_loc, v_loc)
-        return (
-            mask_loc * Kv_loc
-            + (QA_cost * s - t) * mask_loc
-            - s * q_loc
-            + cost_inv * v_loc
-        )
+        return _local_corrections(Kv_loc, v_loc, q_loc, mask_loc,
+                                  QA_cost, cost_inv)
 
     if mode == "linear":
 
@@ -359,10 +366,10 @@ def make_sharded_learn_fns(mesh: Mesh, kernel: KernelType, degree: int,
 
     ``setup(X, x_last, b, mask, gamma, coef0, cost) -> (q, QA_cost, state)``
     with ``q`` and the state vectors row-sharded, scalars replicated;
-    ``chunk(X, b, mask, q_unused, QA_unused, x_last, gamma, coef0, cost, eps,
-    imax_end, state) -> state`` continues CG to ``imax_end`` total
-    iterations.  ``chunk`` rebuilds q/QA from ``x_last`` (cheap, avoids
-    spec plumbing for passing the sharded q back in).
+    ``chunk(X, b, mask, x_last, gamma, coef0, cost, eps, imax_end, state)
+    -> state`` continues CG to ``imax_end`` total iterations.  ``chunk``
+    rebuilds q/QA from ``x_last`` (cheap, avoids spec plumbing for passing
+    the sharded q back in).
     """
     from ..solver.cg import CGState, cg_init, cg_run
 
@@ -567,19 +574,18 @@ def make_sharded_sparse_linear_learn(mesh: Mesh, precond: str = "none"):
 
         def matvec(v_loc):
             u = lax.psum(rmv(v_loc), DATA_AXIS)
-            Kv_loc = mv(u)
-            s = lax.psum(jnp.sum(v_loc), DATA_AXIS)
-            t = _psum_dot(q_loc, v_loc)
-            return (mask_loc * Kv_loc + (QA_cost * s - t) * mask_loc
-                    - s * q_loc + cost_inv * v_loc)
+            return _local_corrections(mv(u), v_loc, q_loc, mask_loc,
+                                      QA_cost, cost_inv)
 
         minv = None
         if precond == "jacobi":
+            from ..ops.matvec import jacobi_minv_from_kii
+
+            # linear kernel: kii = row squared norms (ELL + COO tail)
             sq_loc = jnp.sum(vals * vals, axis=1) + jax.ops.segment_sum(
                 tval_l * tval_l, trow_l, num_segments=m_loc)
-            diag = sq_loc + QA_cost - 2.0 * q_loc + cost_inv
-            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-            minv = mask_loc / jnp.maximum(diag, tiny)
+            minv = jacobi_minv_from_kii(sq_loc, q_loc, mask_loc,
+                                        QA_cost, cost_inv)
 
         res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
                        dot=_psum_dot)

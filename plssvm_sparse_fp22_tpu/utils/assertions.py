@@ -48,6 +48,9 @@ def plssvm_assert(condition: bool, msg: str, *args, **kwargs) -> None:
 
     ``msg`` is ``str.format``-style, formatted lazily — only on failure —
     so call sites stay cheap when asserts are enabled and free when not.
+    ``args``/``kwargs`` ARE evaluated at the call site like any Python
+    arguments: pass only cheap values (shapes, scalars); guard expensive
+    diagnostics with an explicit ``if ASSERTS_ENABLED:`` block.
     """
     if not ASSERTS_ENABLED or condition:
         return

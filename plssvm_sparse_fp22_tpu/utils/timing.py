@@ -41,6 +41,53 @@ def profiler_trace(log_dir: str | None):
         jax.profiler.stop_trace()
 
 
+def slope_rate(run, lo: int, hi: int, trials: int = 5,
+               grow_to_seconds: float | None = None,
+               max_hi: int = 4096) -> float:
+    """Iterations/s via a two-point slope — the ONE timing estimator shared
+    by ``bench.py`` and ``scripts/scaling_bench.py``.
+
+    ``run(seed, n_iters) -> elapsed_seconds`` must execute the same traced
+    program at two iteration caps with fresh inputs; the rate is
+    ``(hi - lo) / (t_hi - t_lo)``.  This cancels constant dispatch/transfer
+    overhead and defeats result-level caching in the remote-TPU relay.
+    The median over ``trials`` is robust against relay dispatch-latency
+    outliers in either direction (a min would keep noise-deflated samples).
+
+    With ``grow_to_seconds``, the (lo, hi) span is widened (hi *= 4, capped
+    at ``max_hi``) until the measured difference dwarfs dispatch noise.
+
+    ``run`` may also return ``(elapsed_seconds, executed_iters)``: the
+    slope then uses the *executed* counts, which keeps the estimate correct
+    when an eps=0 CG stops before the cap (a small system's f32 residual
+    can underflow to exactly 0.0, ending the loop early).
+    """
+    def call(seed, n):
+        out = run(seed, n)
+        return out if isinstance(out, tuple) else (out, n)
+
+    call(0, lo)  # compile both caps (same program: imax is traced)
+    if grow_to_seconds is not None:
+        while hi < max_hi:
+            t_hi, k_hi = call(1, hi)
+            t_lo, _ = call(2, lo)
+            if t_hi - t_lo >= grow_to_seconds or k_hi < hi:
+                break  # span large enough, or the solve converges early
+            lo, hi = hi, hi * 4
+            call(0, hi)  # warm any fresh dispatch path
+    samples = []
+    for trial in range(trials):
+        t_lo, k_lo = call(100 + trial, lo)
+        t_hi, k_hi = call(200 + trial, hi)
+        if t_hi > t_lo and k_hi > k_lo:
+            samples.append((t_hi - t_lo) / (k_hi - k_lo))
+    if not samples:
+        t, k = call(300, hi)
+        return k / t
+    samples.sort()
+    return 1.0 / samples[len(samples) // 2]
+
+
 class Timings:
     """Accumulating sink: label -> [durations_ms] (observability hook)."""
 

@@ -66,7 +66,9 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16):
     def run(seed, iters):
         r = np.random.default_rng(seed)
         b = np.zeros(D, dtype=dtype)
-        b[:dept] = np.where(r.normal(size=dept) > 0, 2.0, -2.0)
+        # continuous rhs: a discrete +-2 pattern on a low-rank Gram can hit
+        # delta == 0.0 exactly and stop the eps=0 CG before the cap
+        b[:dept] = r.normal(size=dept)
         bs = jax.device_put(b, row_sharding)
         args = (Xs, jnp.asarray(x_last), bs, ms,
                 jnp.asarray(1.0 / f, dtype), jnp.asarray(0.0, dtype),
@@ -75,26 +77,14 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16):
         t0 = time.perf_counter()
         out = learn(*args)
         jax.block_until_ready(out)
-        assert int(out[4]) == iters
-        return time.perf_counter() - t0
+        # (elapsed, executed): slope_rate divides by executed iterations,
+        # correct even if the eps=0 CG hits an exact-zero residual early
+        return time.perf_counter() - t0, int(out[4])
 
-    run(0, lo)  # compile
-    # grow the iteration span until it dwarfs dispatch noise (>= 0.25 s)
-    while hi < 4096 and run(1, hi) - run(2, lo) < 0.25:
-        lo, hi = hi, hi * 4
-        run(0, hi)  # same traced program; warm any fresh dispatch path
-    samples = []
-    for trial in range(3):
-        t_lo = run(10 + trial, lo)
-        t_hi = run(20 + trial, hi)
-        if t_hi > t_lo:
-            samples.append((t_hi - t_lo) / (hi - lo))
-    if not samples:
-        per_iter = run(30, hi) / hi
-    else:
-        samples.sort()
-        per_iter = samples[len(samples) // 2]  # median: robust to outliers
-    return 1.0 / per_iter, D
+    from plssvm_sparse_fp22_tpu.utils.timing import slope_rate
+
+    # grow the span until it dwarfs dispatch noise; median of 3 trials
+    return slope_rate(run, lo, hi, trials=3, grow_to_seconds=0.25), D
 
 
 def main():

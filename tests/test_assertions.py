@@ -69,14 +69,26 @@ class TestWiredInvariants:
             build_operator(KernelType.linear, X, jnp.zeros(6), jnp.ones(8),
                            0.0, 1.0, mode="linear")
 
-    def test_hybrid_packing_invariant_passes(self, monkeypatch):
-        """Conservation holds on a real packing (assert enabled, no raise)."""
+    def test_hybrid_packing_roundtrip(self, monkeypatch):
+        """The packing conserves every nonzero: scattering the ELL slab and
+        COO tail back reconstructs the CSR exactly (the invariant the
+        vacuous in-pack assert could not check)."""
         monkeypatch.setattr(assertions, "ASSERTS_ENABLED", True)
         import scipy.sparse as sp
 
         from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
 
         rng = np.random.default_rng(3)
-        csr = sp.random(40, 30, density=0.2, format="csr", random_state=rng)
+        csr = sp.random(40, 30, density=0.2, format="csr", random_state=rng,
+                        data_rvs=lambda k: rng.normal(size=k))
         h = HybridSparse.from_csr(csr, dtype=np.float64)
-        assert h.ell.shape == (40, 30)
+        dense = np.zeros((40, 30))
+        vals = np.asarray(h.ell.values)
+        cols = np.asarray(h.ell.cols)
+        for i in range(40):
+            for l in range(h.ell.row_capacity):
+                dense[i, cols[i, l]] += vals[i, l]
+        for r, c, v in zip(np.asarray(h.coo_rows), np.asarray(h.coo_cols),
+                           np.asarray(h.coo_vals)):
+            dense[r, c] += v
+        np.testing.assert_allclose(dense, csr.toarray(), rtol=0, atol=0)

@@ -169,8 +169,14 @@ def test_jacobi_parity_other_paths(path, blobs, oracle_solutions):
     if path == "dense1":
         overrides["devices"] = 1
     else:
-        overrides["sparse_threshold"] = 1.0  # force CSR path
+        # force the CSR path AND one device — on a mesh, in-budget sparse
+        # rbf densifies onto the sharded dense path and would not exercise
+        # the sparse tiers at all
+        overrides["sparse_threshold"] = 1.0
+        overrides["devices"] = 1
     svm = _train(X, y, KernelType.rbf, **overrides)
+    if path == "sparse":
+        assert svm.last_cg_info["mode"].startswith("sparse_"), svm.last_cg_info
     alpha_ref, bias_ref, _ = oracle_solutions[KernelType.rbf]
     _assert_matches(svm.alphas, svm.bias_, alpha_ref, bias_ref)
 
