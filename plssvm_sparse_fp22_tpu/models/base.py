@@ -525,7 +525,7 @@ class CSVM:
         return self._learn_sparse(D, dept, f, b_pad, mask, imax)
 
     def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
-        from ..ops.sparse import ELLMatrix, host_gram_from_csr
+        from ..ops.sparse import host_gram_from_csr
         from .sparse_learn import learn_from_gram_jit, learn_sparse_linear_jit
 
         if self.params.checkpoint_path is not None or self.params.verbose_cg:
@@ -609,14 +609,21 @@ class CSVM:
             )
             return "sparse_implicit", out
 
-        # Gram path: MXU blockwise assembly from ELL for moderate feature
-        # widths; host sparse BLAS for extremely wide data (news20-scale)
-        from ..ops.sparse import device_gram_from_ell, device_gram_max_features
+        # Gram path: host densify (transient, budget-gated) + one MXU
+        # product.  Host densify instead of a device scatter: TPU scatter
+        # compilation through the remote relay is minutes-unpredictable
+        # (measured 300-500 s cold vs 0.1 s host toarray + a plain GEMM).
+        # Host sparse BLAS handles extremely wide data (news20-scale).
+        from ..ops.kernel_functions import PRECISION as _PREC
+        from ..ops.sparse import device_gram_max_features
 
-        if f <= device_gram_max_features():
-            ell = ELLMatrix.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
-            G_dev = device_gram_from_ell(ell)
-            sq_dev = jnp.diag(G_dev)
+        if f <= device_gram_max_features() and dense_x_fits:
+            X_pad = np.zeros((D, f), dtype=self.dtype)
+            X_pad[:dept] = csr[:dept].toarray()
+            Xd = jnp.asarray(X_pad)
+            G_dev = jnp.dot(Xd, Xd.T, preferred_element_type=Xd.dtype,
+                            precision=_PREC)
+            sq_dev = jnp.sum(Xd * Xd, axis=1)
         else:
             G = host_gram_from_csr(csr, dept)
             G_pad = np.zeros((D, D), dtype=self.dtype)

@@ -527,10 +527,18 @@ def make_sym_matvec(
     acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     X = X.astype(dtype)
 
-    if bm is None:
+    auto_bm = bm is None
+    if auto_bm:
         bm = _choose_sym_bm(D)
     if bm >= 1024:
         bk = min(bk, 256)  # VMEM headroom for the 1024^2 f32 Gram block
+        # a 1024 block fits the 16 MB scoped VMEM only when the k grid has a
+        # single step (operand windows stay single-buffered): the (bm, bm)
+        # f32 accumulator + transform temporaries leave < 2 MB headroom and
+        # a k-sweep double-buffers the four bf16 operand windows (measured
+        # 17.88 MB at f=4096).  Wider features auto-drop to 512 blocks.
+        if auto_bm and _round_up(f, 128) > bk:
+            bm = 512
 
     Dp, fp = _round_up(D, bm), _round_up(f, 128)
     bk = min(bk, fp)

@@ -193,47 +193,24 @@ def host_cross_gram_from_csr(csr_a: sp.csr_matrix, csr_b: sp.csr_matrix) -> np.n
 
 
 def device_gram_from_ell(ell: ELLMatrix, *, row_block: int = 256) -> jnp.ndarray:
-    """Dense Gram ``G = X X^T`` assembled on device from the ELL packing.
+    """Dense Gram ``G = X X^T`` assembled on device from the ELL packing:
+    one O(nnz) scatter densifies X (transient (n, f) buffer, budget-gated
+    by the caller) and one big MXU product builds G.
 
-    Streams block *pairs*: each (row_block, f) block is densified from its
-    ELL slice with one scatter-add, then the block product runs on the MXU.
-    Peak extra memory is two dense blocks — X itself is never densified.
-
-    Compared to the host SpGEMM (:func:`host_gram_from_csr`), the MXU's
-    throughput advantage beats the O(n^2 f)-vs-O(n nnz) work disadvantage
-    for all but extremely wide data (the caller gates on ``f``).
+    An earlier blockwise-pair variant kept peak memory at two dense blocks
+    but re-densified every column block O(nb) times through nb² serialized
+    TPU scatters — measured >100x slower end-to-end on v5e (1055 s vs
+    seconds at 16384x4096).  Since the caller only takes this path when the
+    (n, n) Gram itself fits the memory budget, a transient (n, f) dense X
+    (smaller than G whenever f < n) is an acceptable peak; truly wide data
+    routes to the host SpGEMM (:func:`host_gram_from_csr`).
     """
     n, f = ell.shape
-    L = ell.row_capacity
-    bm = min(row_block, n)
-    if n % bm != 0:
-        raise ValueError(f"ELL rows {n} not divisible by row block {bm}")
-    nb = n // bm
-    Vb = ell.values.reshape(nb, bm, L)
-    Cb = ell.cols.reshape(nb, bm, L)
-    row_idx = jnp.arange(bm)[:, None]
-
-    def densify(vals_blk, cols_blk):
-        dense = jnp.zeros((bm, f), vals_blk.dtype)
-        return dense.at[row_idx, cols_blk].add(vals_blk)
-
     from .kernel_functions import PRECISION
 
-    def row_fn(args):
-        vi, ci = args
-        Xi = densify(vi, ci)
-
-        def col_fn(args2):
-            vj, cj = args2
-            Xj = densify(vj, cj)
-            return jnp.dot(
-                Xi, Xj.T, preferred_element_type=Xi.dtype, precision=PRECISION
-            )
-
-        return jax.lax.map(col_fn, (Vb, Cb))  # (nb, bm, bm)
-
-    G = jax.lax.map(row_fn, (Vb, Cb))  # (nb, nb, bm, bm)
-    return G.transpose(0, 2, 1, 3).reshape(n, n)
+    row_idx = jnp.arange(n)[:, None]
+    X = jnp.zeros((n, f), ell.values.dtype).at[row_idx, ell.cols].add(ell.values)
+    return jnp.dot(X, X.T, preferred_element_type=X.dtype, precision=PRECISION)
 
 
 def _transform_block(kernel_int: int, G, sq_i, sq_j, degree, gamma, coef0):

@@ -185,15 +185,17 @@ class TestDeviceGram:
         # padding rows/cols are exact zeros
         assert not G_dev[100:, :].any() and not G_dev[:, 100:].any()
 
-    def test_indivisible_block_raises(self):
+    def test_any_row_count_works(self):
+        """The one-scatter densify has no block-divisibility constraint
+        (the removed blockwise assembly required n % row_block == 0)."""
         import scipy.sparse as sp
 
         from plssvm_sparse_fp22_tpu.ops.sparse import ELLMatrix, device_gram_from_ell
 
         csr = sp.random(10, 5, density=0.5, random_state=1, format="csr")
-        ell = ELLMatrix.from_csr(csr, dtype=np.float32)
-        with pytest.raises(ValueError, match="not divisible"):
-            device_gram_from_ell(ell, row_block=3)
+        ell = ELLMatrix.from_csr(csr, dtype=np.float64)
+        G = np.asarray(device_gram_from_ell(ell, row_block=3))
+        np.testing.assert_allclose(G, (csr @ csr.T).toarray(), rtol=1e-12)
 
     @pytest.mark.parametrize("kernel", ["polynomial", "rbf"])
     def test_sparse_learn_device_vs_host_gram(self, kernel, monkeypatch):
