@@ -485,6 +485,27 @@ def _choose_sym_bm(D: int) -> int:
     return min(eff, key=score)
 
 
+def _effective_sym_blocks(D: int, f: int, bm: int | None, bk: int):
+    """Resolve the symmetric kernel's (bm, bk) blocks within scoped VMEM.
+
+    A 1024 block fits the 16 MB scoped VMEM only when the k grid has a
+    single step (operand windows stay single-buffered): the (bm, bm) f32
+    accumulator + transform temporaries leave < 2 MB headroom, and a
+    k-sweep double-buffers the four bf16 operand windows (measured
+    17.88 MB at f=4096 on v5e).  Auto-chosen 1024 blocks therefore drop to
+    512 when ``round_up(f, 128) > bk``; an explicitly forced ``bm`` (call
+    argument or PLSSVM_SYM_BLOCK_SIZE) is honored verbatim.
+    """
+    auto_bm = bm is None and not os.environ.get("PLSSVM_SYM_BLOCK_SIZE")
+    if bm is None:
+        bm = _choose_sym_bm(D)
+    if bm >= 1024 and auto_bm and _round_up(f, 128) > min(bk, 256):
+        bm = 512  # the smaller block keeps the full bk (more VMEM headroom)
+    if bm >= 1024:
+        bk = min(bk, 256)  # VMEM headroom for the 1024^2 f32 Gram block
+    return bm, bk
+
+
 def make_sym_matvec(
     kernel: KernelType,
     X,  # (D, f) row-padded data
@@ -527,18 +548,7 @@ def make_sym_matvec(
     acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     X = X.astype(dtype)
 
-    auto_bm = bm is None
-    if auto_bm:
-        bm = _choose_sym_bm(D)
-    if bm >= 1024:
-        bk = min(bk, 256)  # VMEM headroom for the 1024^2 f32 Gram block
-        # a 1024 block fits the 16 MB scoped VMEM only when the k grid has a
-        # single step (operand windows stay single-buffered): the (bm, bm)
-        # f32 accumulator + transform temporaries leave < 2 MB headroom and
-        # a k-sweep double-buffers the four bf16 operand windows (measured
-        # 17.88 MB at f=4096).  Wider features auto-drop to 512 blocks.
-        if auto_bm and _round_up(f, 128) > bk:
-            bm = 512
+    bm, bk = _effective_sym_blocks(D, f, bm, bk)
 
     Dp, fp = _round_up(D, bm), _round_up(f, 128)
     bk = min(bk, fp)

@@ -316,6 +316,21 @@ class TestSymBlockTable:
         # tiny systems avoid quadratic padding blowup
         assert pm._choose_sym_bm(256) == 256
 
+    def test_effective_blocks_vmem_guard(self, monkeypatch):
+        """Auto-chosen 1024 blocks only survive a single-step k grid: a
+        k-sweep double-buffers the operand windows and overflows the 16 MB
+        scoped VMEM (measured 17.88 MB at f=4096 on v5e)."""
+        from plssvm_sparse_fp22_tpu.ops import pallas_matvec as pm
+
+        # narrow features (one k step): the large block is kept
+        assert pm._effective_sym_blocks(16384, 256, None, 512) == (1024, 256)
+        # wide features (k grid > 1): auto drops to 512
+        assert pm._effective_sym_blocks(16384, 4096, None, 512) == (512, 512)
+        # an explicitly forced block is honored verbatim (arg or env)
+        assert pm._effective_sym_blocks(16384, 4096, 1024, 512) == (1024, 256)
+        monkeypatch.setenv("PLSSVM_SYM_BLOCK_SIZE", "1024")
+        assert pm._effective_sym_blocks(16384, 4096, None, 512) == (1024, 256)
+
     def test_autotune_cache_roundtrip(self, monkeypatch, tmp_path):
         """A cached autotune table is read back instead of re-measuring."""
         import json
