@@ -520,6 +520,11 @@ class CSVM:
         # beyond-budget poly/rbf (or an explicitly forced sparse tier):
         # single-chip sparse — streaming is the only O(n*L)-memory option
         # (ring-sharded streaming is future work)
+        if self.print_info and not forced_tier:
+            print(
+                f"Sparse {self.kernel} data exceeds the dense memory budget; "
+                f"training on a single chip via the streaming tier."
+            )
         D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
         b_pad, mask = self._padded_vectors(D, dept, y)
         return self._learn_sparse(D, dept, f, b_pad, mask, imax)
