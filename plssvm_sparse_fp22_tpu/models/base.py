@@ -475,8 +475,9 @@ class CSVM:
           multi-GPU path requires dense data (``gpu_csvm.cpp:130-157``).
         - poly/rbf: when dense X fits the memory budget, densify and ride
           the sharded dense path (ring implicit / sharded cached);
-          otherwise fall back to the single-chip streaming tier (the only
-          O(n*L)-memory option).
+          beyond the budget, ring-sharded streaming walks the ELL+COO
+          shards around the mesh per CG iteration at O(n*L/p) memory per
+          chip (a forced PLSSVM_SPARSE_MODE pins the single-chip tier).
         """
         if self.kernel == KernelType.linear:
             if self.params.checkpoint_path is not None or self.params.verbose_cg:
@@ -517,17 +518,42 @@ class CSVM:
             # densify once (budget-gated) and use every chip via the dense
             # sharded path; self.data.dense densifies the CSR on demand
             return self._learn_dense_sharded(dept, f, y, imax, ndev)
-        # beyond-budget poly/rbf (or an explicitly forced sparse tier):
-        # single-chip sparse — streaming is the only O(n*L)-memory option
-        # (ring-sharded streaming is future work)
-        if self.print_info and not forced_tier:
-            print(
-                f"Sparse {self.kernel} data exceeds the dense memory budget; "
-                f"training on a single chip via the streaming tier."
+        # beyond-budget poly/rbf: ring-sharded streaming — each chip holds
+        # only its ELL+COO shard and the shards walk the ring per CG
+        # iteration (the HBM-exceeding sparse regime on a mesh,
+        # BASELINE.json config 5).  An explicitly forced sparse tier pins
+        # the single-chip path instead.
+        if forced_tier:
+            D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+            b_pad, mask = self._padded_vectors(D, dept, y)
+            return self._learn_sparse(D, dept, f, b_pad, mask, imax)
+        if self.params.checkpoint_path is not None or self.params.verbose_cg:
+            raise PLSSVMError(
+                "--checkpoint/--verbose_cg are not supported on the sparse "
+                "learn path; set sparse_threshold=0 to force the dense path"
             )
-        D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+        from ..ops.sparse import HybridSparse
+        from ..parallel.sharded import (make_sharded_sparse_streaming_learn,
+                                        shard_sparse_system)
+
+        csr = self.data.csr
+        D = _round_up(dept, PAD_SIZE * ndev)
         b_pad, mask = self._padded_vectors(D, dept, y)
-        return self._learn_sparse(D, dept, f, b_pad, mask, imax)
+        h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+        x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+        mesh = self._mesh(ndev)
+        learn = make_sharded_sparse_streaming_learn(
+            mesh, self.kernel, self.degree, precond=str(self.params.precond))
+        args = shard_sparse_system(mesh, h, b_pad, mask)
+        out = learn(
+            *args[:5], jnp.asarray(x_last), *args[5:],
+            jnp.asarray(self.gamma, self.dtype),
+            jnp.asarray(self.coef0, self.dtype),
+            jnp.asarray(self.cost, self.dtype),
+            jnp.asarray(self.epsilon, self.dtype),
+            jnp.asarray(imax, jnp.int32),
+        )
+        return f"sharded_sparse_implicit[{ndev}]", out
 
     def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
         from ..ops.sparse import host_gram_from_csr

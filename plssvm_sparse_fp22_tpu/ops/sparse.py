@@ -273,35 +273,72 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
         bn = (512 if strategy == "mxu" else 128) if n % 512 == 0 else 128
     if n % bm != 0 or n % bn != 0:
         raise ValueError(f"padded rows {n} must divide by bm={bm}, bn={bn}")
-    nI, nJ = n // bm, n // bn
-    dtype = h.ell.values.dtype
-
-    from .kernel_functions import PRECISION
 
     sq = hybrid_row_sqnorms(h)
-    Vb = h.ell.values.reshape(nI, bm, L)
-    Cb = h.ell.cols.reshape(nI, bm, L)
-    sqb = sq.reshape(nI, bm)
-    has_tail = int(h.coo_vals.shape[0]) > 0
-    row_in_block = jnp.arange(bn)[:, None]  # (bn, 1) broadcast vs (bn, L)
-    row_in_bm = jnp.arange(bm)[:, None]  # (bm, 1) broadcast vs (bm, L)
+    contrib = make_streaming_cross_contrib(
+        kernel_int, degree, gamma, coef0,
+        row_vals=h.ell.values, row_cols=h.ell.cols, row_sq=sq,
+        row_trow=h.coo_rows, row_tcol=h.coo_cols, row_tval=h.coo_vals,
+        f=f, bm=bm, bn=bn, strategy=strategy,
+    )
 
     def matvec(v):
+        return contrib(h.ell.values, h.ell.cols, h.coo_rows, h.coo_cols,
+                       h.coo_vals, sq, v)
+
+    return matvec, sq
+
+
+def make_streaming_cross_contrib(kernel_int: int, degree: int, gamma, coef0,
+                                 *, row_vals, row_cols, row_sq,
+                                 row_trow, row_tcol, row_tval,
+                                 f: int, bm: int, bn: int, strategy: str):
+    """Streaming cross-Gram contraction core shared by the single-chip
+    streaming matvec and the ring-sharded multi-chip variant:
+
+    ``contrib(panel_vals, panel_cols, panel_trow, panel_tcol, panel_tval,
+    panel_sq, v) -> sum_j K(x_i^row, x_j^panel) v_j`` over all panel rows,
+    for every row of the fixed ELL+COO *row side* closed over here.  The
+    self-Gram case passes the row side's own arrays as the panel; the ring
+    case passes the in-flight neighbor shard (panel row/tail indices are
+    panel-local).  Padding rows/slots are zero and contribute nothing.
+    """
+    from .kernel_functions import PRECISION
+
+    n_rows, L = row_vals.shape
+    if n_rows % bm != 0:
+        raise ValueError(f"row side {n_rows} must divide by bm={bm}")
+    nI = n_rows // bm
+    dtype = row_vals.dtype
+    has_row_tail = int(row_tval.shape[0]) > 0
+    Vb = row_vals.reshape(nI, bm, L)
+    Cb = row_cols.reshape(nI, bm, L)
+    sqb = row_sq.reshape(nI, bm)
+    row_in_bm = jnp.arange(bm)[:, None]  # (bm, 1) broadcast vs (bm, L)
+    row_in_bn = jnp.arange(bn)[:, None]  # (bn, 1) broadcast vs (bn, Lp)
+
+    def contrib(panel_vals, panel_cols, panel_trow, panel_tcol, panel_tval,
+                panel_sq, v):
+        m_panel, Lp = panel_vals.shape
+        if m_panel % bn != 0:
+            raise ValueError(f"panel side {m_panel} must divide by bn={bn}")
+        nJ = m_panel // bn
+        has_panel_tail = int(panel_tval.shape[0]) > 0
         v = v.astype(dtype)
 
         def j_step(acc, jidx):
             j0 = jidx * bn
-            valsJ = jax.lax.dynamic_slice(h.ell.values, (j0, 0), (bn, L))
-            colsJ = jax.lax.dynamic_slice(h.ell.cols, (j0, 0), (bn, L))
+            valsJ = jax.lax.dynamic_slice(panel_vals, (j0, 0), (bn, Lp))
+            colsJ = jax.lax.dynamic_slice(panel_cols, (j0, 0), (bn, Lp))
             # scatter-densify the J panel transposed: XJdT[col, j] += val
-            XJdT = jnp.zeros((f, bn), dtype).at[colsJ, row_in_block].add(valsJ)
-            if has_tail:
-                in_j = jnp.logical_and(h.coo_rows >= j0, h.coo_rows < j0 + bn)
-                jloc = jnp.clip(h.coo_rows - j0, 0, bn - 1)
-                XJdT = XJdT.at[h.coo_cols, jloc].add(
-                    jnp.where(in_j, h.coo_vals, 0.0))
+            XJdT = jnp.zeros((f, bn), dtype).at[colsJ, row_in_bn].add(valsJ)
+            if has_panel_tail:
+                in_j = jnp.logical_and(panel_trow >= j0, panel_trow < j0 + bn)
+                jloc = jnp.clip(panel_trow - j0, 0, bn - 1)
+                XJdT = XJdT.at[panel_tcol, jloc].add(
+                    jnp.where(in_j, panel_tval, 0.0))
             vJ = jax.lax.dynamic_slice(v, (j0,), (bn,))
-            sqJ = jax.lax.dynamic_slice(sq, (j0,), (bn,))
+            sqJ = jax.lax.dynamic_slice(panel_sq, (j0,), (bn,))
 
             if strategy == "mxu":
                 def i_fn(args):
@@ -310,12 +347,12 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
                     # (bm, f) x (f, bn) product runs at matrix-unit rate —
                     # ~80x the gather path on v5e at news20-unlike densities
                     Xi = jnp.zeros((bm, f), dtype).at[row_in_bm, cols_i].add(vals_i)
-                    if has_tail:
-                        in_i = jnp.logical_and(h.coo_rows >= i0,
-                                               h.coo_rows < i0 + bm)
-                        iloc = jnp.clip(h.coo_rows - i0, 0, bm - 1)
-                        Xi = Xi.at[iloc, h.coo_cols].add(
-                            jnp.where(in_i, h.coo_vals, 0.0))
+                    if has_row_tail:
+                        in_i = jnp.logical_and(row_trow >= i0,
+                                               row_trow < i0 + bm)
+                        iloc = jnp.clip(row_trow - i0, 0, bm - 1)
+                        Xi = Xi.at[iloc, row_tcol].add(
+                            jnp.where(in_i, row_tval, 0.0))
                     G = jnp.dot(Xi, XJdT, preferred_element_type=dtype,
                                 precision=PRECISION)
                     K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
@@ -324,12 +361,12 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
 
                 xs = (Vb, Cb, sqb, jnp.arange(nI, dtype=jnp.int32) * bm)
             else:
-                if has_tail:
+                if has_row_tail:
                     # I-side tail: G[r, :] += val_e * XJdT[col_e, :] for
                     # every tail entry e of row r
                     G_tail = jax.ops.segment_sum(
-                        h.coo_vals[:, None] * XJdT[h.coo_cols], h.coo_rows,
-                        num_segments=n,
+                        row_tval[:, None] * XJdT[row_tcol], row_trow,
+                        num_segments=n_rows,
                     ).reshape(nI, bm, bn)
                 else:
                     G_tail = jnp.zeros((nI, 1, 1), dtype)  # broadcast no-op
@@ -344,14 +381,14 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
 
                 xs = (Vb, Cb, sqb, G_tail)
 
-            contrib = jax.lax.map(i_fn, xs).reshape(n)
-            return acc + contrib, None
+            out = jax.lax.map(i_fn, xs).reshape(n_rows)
+            return acc + out, None
 
-        acc0 = jnp.zeros((n,), dtype)
+        acc0 = jnp.zeros((n_rows,), dtype)
         Kv, _ = jax.lax.scan(j_step, acc0, jnp.arange(nJ))
         return Kv
 
-    return matvec, sq
+    return contrib
 
 
 #: widest feature count for which the blockwise device Gram assembly is used;

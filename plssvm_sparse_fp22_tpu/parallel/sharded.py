@@ -522,6 +522,100 @@ def shard_sparse_system(mesh: Mesh, h, b_pad, mask):
 
 
 @lru_cache(maxsize=None)
+def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
+                                        degree: int, precond: str = "none"):
+    """Ring-sharded streaming poly/rbf learn over ELL+COO shards — the
+    HBM-exceeding sparse regime on a mesh (BASELINE.json config 5): each
+    chip holds only its (D/p, L) slab; per CG iteration the shards walk the
+    ring (``lax.ppermute``) and each hop runs the streaming cross-Gram
+    contraction (:func:`ops.sparse.make_streaming_cross_contrib`) of local
+    rows against the in-flight shard.  Peak memory is two sparse shards
+    per chip; the kernel matrix, dense X, and even a dense shard never
+    materialize.
+
+    Returns ``fn(vals, cols, trow, tcol, tval, x_last_dense, b, mask,
+    gamma, coef0, cost, eps, imax)`` with system arrays sharded as produced
+    by :func:`shard_sparse_system`.
+    """
+    from ..ops.sparse import make_streaming_cross_contrib, streaming_stream_strategy
+    from ..solver.cg import cg_solve
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(vals, cols, trow, tcol, tval, x_last, b_loc, mask_loc,
+            gamma, coef0, cost, eps, imax):
+        dtype = vals.dtype
+        f = x_last.shape[0]
+        m_loc, L = vals.shape
+        trow_l, tcol_l, tval_l = trow[0], tcol[0], tval[0]
+        cost_inv = jnp.asarray(1.0, dtype) / cost
+        num = lax.axis_size(DATA_AXIS)
+
+        sq_loc = jnp.sum(vals * vals, axis=1) + jax.ops.segment_sum(
+            tval_l * tval_l, trow_l, num_segments=m_loc)
+        # q_i = k(x_i, x_last): sparse row x dense vector, then transform
+        g_last = jnp.sum(vals * x_last[cols], axis=1) + jax.ops.segment_sum(
+            tval_l * x_last[tcol_l], trow_l, num_segments=m_loc)
+        sq_last = jnp.dot(x_last, x_last, preferred_element_type=dtype,
+                          precision=PRECISION)
+        if kernel == KernelType.polynomial:
+            q_loc = lax.integer_pow(gamma * g_last + coef0, degree) * mask_loc
+            QA_cost = lax.integer_pow(gamma * sq_last + coef0, degree) + cost_inv
+            kii = lax.integer_pow(gamma * sq_loc + coef0, degree)
+        else:  # rbf
+            d2 = sq_loc + sq_last - 2.0 * g_last
+            q_loc = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask_loc
+            QA_cost = jnp.asarray(1.0, dtype) + cost_inv
+            kii = jnp.ones_like(sq_loc)
+
+        bm = 512 if m_loc % 512 == 0 else 128
+        contrib = make_streaming_cross_contrib(
+            int(kernel), degree, gamma, coef0,
+            row_vals=vals, row_cols=cols, row_sq=sq_loc,
+            row_trow=trow_l, row_tcol=tcol_l, row_tval=tval_l,
+            f=f, bm=bm, bn=bm, strategy=streaming_stream_strategy(L, f),
+        )
+        right = [(i, (i + 1) % num) for i in range(num)]
+
+        def matvec(v_loc):
+            def step(carry, _):
+                pv, pc, ptr, ptc, ptv, psq, vb, acc = carry
+                acc = acc + contrib(pv, pc, ptr, ptc, ptv, psq, vb)
+                pv, pc, ptr, ptc, ptv, psq, vb = (
+                    lax.ppermute(x, DATA_AXIS, right)
+                    for x in (pv, pc, ptr, ptc, ptv, psq, vb))
+                return (pv, pc, ptr, ptc, ptv, psq, vb, acc), None
+
+            init = (vals, cols, trow_l, tcol_l, tval_l, sq_loc, v_loc,
+                    jnp.zeros_like(v_loc))
+            (*_, Kv_loc), _ = lax.scan(step, init, None, length=num)
+            return _local_corrections(Kv_loc, v_loc, q_loc, mask_loc,
+                                      QA_cost, cost_inv)
+
+        minv = None
+        if precond == "jacobi":
+            from ..ops.matvec import jacobi_minv_from_kii
+
+            minv = jacobi_minv_from_kii(kii, q_loc, mask_loc, QA_cost, cost_inv)
+
+        res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
+                       dot=_psum_dot)
+        s = lax.psum(jnp.sum(res.x), DATA_AXIS)
+        t = _psum_dot(q_loc, res.x)
+        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def make_sharded_sparse_linear_learn(mesh: Mesh, precond: str = "none"):
     """Row-sharded sparse linear-kernel learn over the ELL+COO hybrid
     packing — the sparse twin of the dense ``linear`` sharded mode, for

@@ -269,6 +269,14 @@ def sparse_blobs():
     return _random_sparse(N, 40, density=0.15, seed=41)
 
 
+@pytest.fixture(scope="module")
+def sparse_blobs_small():
+    """Small enough that the ring streaming program (O(n^2 L / p) per CG
+    iteration) cannot starve the 8 virtual devices sharing this host's
+    cores past XLA's 40 s collective-rendezvous timeout."""
+    return _random_sparse(520, 40, density=0.15, seed=43)
+
+
 class TestSparseSharded:
     def test_sparse_linear_spans_mesh(self, sparse_blobs):
         """Linear CSR data row-shards over all 8 devices (ELL+COO shards,
@@ -297,11 +305,38 @@ class TestSparseSharded:
         svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
         _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
 
-    def test_sparse_rbf_beyond_budget_single_chip_streams(self, sparse_blobs,
-                                                          monkeypatch):
-        """When even dense X exceeds the budget, the learn falls back to the
-        single-chip streaming tier (the only O(n*L)-memory option)."""
+    @pytest.mark.parametrize("kernel", [KernelType.polynomial, KernelType.rbf])
+    def test_sparse_beyond_budget_rings_the_mesh(self, sparse_blobs_small,
+                                                 monkeypatch, kernel):
+        """When even dense X exceeds the budget, poly/rbf sparse data walks
+        the ring: every chip holds only its ELL+COO shard (the
+        HBM-exceeding regime, BASELINE.json config 5) — and the result
+        still matches the dense single-chip model."""
         monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "1000")
+        csr, y = sparse_blobs_small
+        svm = _train_sparse(csr, y, kernel)
+        assert svm.last_cg_info["mode"] == "sharded_sparse_implicit[4]", \
+            svm.last_cg_info
+        monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
+        svm_d = _train(csr.toarray(), y, kernel, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
+
+    def test_sparse_beyond_budget_ring_jacobi(self, sparse_blobs_small,
+                                              monkeypatch):
+        monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "1000")
+        csr, y = sparse_blobs_small
+        svm = _train_sparse(csr, y, KernelType.rbf, precond="jacobi")
+        assert svm.last_cg_info["mode"] == "sharded_sparse_implicit[4]"
+        monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
+        svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
+
+    def test_sparse_forced_tier_pins_single_chip(self, sparse_blobs,
+                                                 monkeypatch):
+        """A forced PLSSVM_SPARSE_MODE keeps the single-chip tier even on a
+        mesh (the env knob pins the exact execution strategy)."""
+        monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "1000")
+        monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
         csr, y = sparse_blobs
         svm = _train_sparse(csr, y, KernelType.rbf, max_iter=25)
         assert svm.last_cg_info["mode"] == "sparse_implicit"
