@@ -576,7 +576,10 @@ def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
             QA_cost = jnp.asarray(1.0, dtype) + cost_inv
             kii = jnp.ones_like(sq_loc)
 
-        bm = 512 if m_loc % 512 == 0 else 128
+        # largest tile dividing the shard (the product path pads shards to
+        # PAD_SIZE multiples; expert callers may feed smaller shards)
+        bm = next(b for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                  if m_loc % b == 0)
         contrib = make_streaming_cross_contrib(
             int(kernel), degree, gamma, coef0,
             row_vals=vals, row_cols=cols, row_sq=sq_loc,

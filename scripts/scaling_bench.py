@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16):
+def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16,
+            data="dense", density=0.05):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +49,51 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16):
     dept = D - 8
     rng = np.random.default_rng(0)
     dtype = np.float32
+    kernel = KernelType.from_string(kernel_name)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from plssvm_sparse_fp22_tpu.parallel.mesh import DATA_AXIS
+
+    row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    if data == "sparse":
+        import scipy.sparse as sp
+
+        from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
+        from plssvm_sparse_fp22_tpu.parallel.sharded import (
+            make_sharded_sparse_linear_learn,
+            make_sharded_sparse_streaming_learn, shard_sparse_system)
+
+        csr = sp.random(dept, f, density=density, format="csr", dtype=dtype,
+                        random_state=rng)
+        h = HybridSparse.from_csr(csr, dtype=dtype, pad_rows=D)
+        x_last = rng.normal(size=f).astype(dtype)
+        mask = np.zeros(D, dtype=dtype)
+        mask[:dept] = 1.0
+        sys_args = shard_sparse_system(mesh, h, np.zeros(D, dtype), mask)
+        if kernel == KernelType.linear:
+            learn = make_sharded_sparse_linear_learn(mesh)
+            tail_scalars = (jnp.asarray(1.0, dtype),)
+        else:
+            learn = make_sharded_sparse_streaming_learn(mesh, kernel, 3)
+            tail_scalars = (jnp.asarray(1.0 / f, dtype),
+                            jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
+
+        def run(seed, iters):
+            r = np.random.default_rng(seed)
+            b = np.zeros(D, dtype=dtype)
+            b[:dept] = r.normal(size=dept)
+            bs = jax.device_put(b, row_sharding)
+            t0 = time.perf_counter()
+            out = learn(*sys_args[:5], jnp.asarray(x_last), bs, sys_args[6],
+                        *tail_scalars, jnp.asarray(0.0, dtype),
+                        jnp.asarray(iters, jnp.int32))
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0, int(out[4])
+
+        from plssvm_sparse_fp22_tpu.utils.timing import slope_rate
+
+        return slope_rate(run, lo, hi, trials=3, grow_to_seconds=0.25), D
 
     X_pad = np.zeros((D, f), dtype=dtype)
     X_pad[:dept] = rng.normal(size=(dept, f))
@@ -55,13 +101,8 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16):
     mask = np.zeros(D, dtype=dtype)
     mask[:dept] = 1.0
 
-    learn = make_sharded_learn(mesh, KernelType.from_string(kernel_name), 3, mode)
+    learn = make_sharded_learn(mesh, kernel, 3, mode)
     Xs, _, ms = shard_system(mesh, X_pad, np.zeros(D, dtype), mask)
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from plssvm_sparse_fp22_tpu.parallel.mesh import DATA_AXIS
-
-    row_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def run(seed, iters):
         r = np.random.default_rng(seed)
@@ -95,6 +136,10 @@ def main():
     parser.add_argument("--features", type=int, default=128)
     parser.add_argument("--kernel", default="rbf")
     parser.add_argument("--mode", default="implicit")
+    parser.add_argument("--data", choices=("dense", "sparse"), default="dense",
+                        help="sparse: ELL+COO shards (linear: psummed "
+                             "feature product; poly/rbf: ring streaming)")
+    parser.add_argument("--density", type=float, default=0.05)
     parser.add_argument("--scaling", choices=("work", "rows"), default="work",
                         help="work: constant per-device FLOPs (rows ~ sqrt(p)); "
                              "rows: constant rows per device (work ~ p)")
@@ -119,7 +164,8 @@ def main():
         else:
             rows_local = args.rows_per_dev
         mesh = make_mesh(p)
-        rate, D = measure(mesh, rows_local, args.features, args.kernel, args.mode)
+        rate, D = measure(mesh, rows_local, args.features, args.kernel,
+                          args.mode, data=args.data, density=args.density)
         rates[p], dims[p] = rate, D
         p0 = sizes[0]
         if args.scaling == "work":
@@ -132,8 +178,9 @@ def main():
         print(f"devices={p:3d} rows={D:7d} iters/s={rate:9.2f} "
               f"weak-eff={eff[p]:7.2%}", flush=True)
 
+    data_tag = "" if args.data == "dense" else "_sparse"
     print(json.dumps({
-        "metric": f"weak_scaling_{args.kernel}_{args.mode}_{args.scaling}",
+        "metric": f"weak_scaling_{args.kernel}_{args.mode}{data_tag}_{args.scaling}",
         "platform": jax.default_backend(),
         "virtual_devices_share_host_cores": bool(args.cpu),
         "host_cores": os.cpu_count(),
