@@ -480,25 +480,12 @@ class CSVM:
           chip (a forced PLSSVM_SPARSE_MODE pins the single-chip tier).
         """
         if self.kernel == KernelType.linear:
-            if self.params.checkpoint_path is not None or self.params.verbose_cg:
-                raise PLSSVMError(
-                    "--checkpoint/--verbose_cg are not supported on the "
-                    "sparse learn path; set sparse_threshold=0 to force the "
-                    "dense path"
-                )
-            from ..ops.sparse import HybridSparse
-            from ..parallel.sharded import (make_sharded_sparse_linear_learn,
-                                            shard_sparse_system)
+            self._reject_chunk_flags_on_sparse()
+            from ..parallel.sharded import make_sharded_sparse_linear_learn
 
-            csr = self.data.csr
-            D = _round_up(dept, PAD_SIZE * ndev)
-            b_pad, mask = self._padded_vectors(D, dept, y)
-            h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
-            x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
-            mesh = self._mesh(ndev)
+            mesh, args, x_last = self._sparse_sharded_system(dept, y, ndev)
             learn = make_sharded_sparse_linear_learn(
                 mesh, precond=str(self.params.precond))
-            args = shard_sparse_system(mesh, h, b_pad, mask)
             out = learn(
                 *args[:5], jnp.asarray(x_last), *args[5:],
                 jnp.asarray(self.cost, self.dtype),
@@ -518,6 +505,17 @@ class CSVM:
             # densify once (budget-gated) and use every chip via the dense
             # sharded path; self.data.dense densifies the CSR on demand
             return self._learn_dense_sharded(dept, f, y, imax, ndev)
+        if not forced_tier and (
+            dept_pad * dept_pad * itemsize <= _k_cache_budget_bytes()
+        ):
+            # wide data (f >> n): dense X is out of budget but the (D, D)
+            # Gram fits — the one-time Gram assembly + cached GEMV CG beats
+            # recomputing kernel blocks every iteration by orders of
+            # magnitude; the sparse tier ladder picks it (host SpGEMM for
+            # extreme widths)
+            D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
+            b_pad, mask = self._padded_vectors(D, dept, y)
+            return self._learn_sparse(D, dept, f, b_pad, mask, imax)
         # beyond-budget poly/rbf: ring-sharded streaming — each chip holds
         # only its ELL+COO shard and the shards walk the ring per CG
         # iteration (the HBM-exceeding sparse regime on a mesh,
@@ -527,24 +525,12 @@ class CSVM:
             D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
             b_pad, mask = self._padded_vectors(D, dept, y)
             return self._learn_sparse(D, dept, f, b_pad, mask, imax)
-        if self.params.checkpoint_path is not None or self.params.verbose_cg:
-            raise PLSSVMError(
-                "--checkpoint/--verbose_cg are not supported on the sparse "
-                "learn path; set sparse_threshold=0 to force the dense path"
-            )
-        from ..ops.sparse import HybridSparse
-        from ..parallel.sharded import (make_sharded_sparse_streaming_learn,
-                                        shard_sparse_system)
+        self._reject_chunk_flags_on_sparse()
+        from ..parallel.sharded import make_sharded_sparse_streaming_learn
 
-        csr = self.data.csr
-        D = _round_up(dept, PAD_SIZE * ndev)
-        b_pad, mask = self._padded_vectors(D, dept, y)
-        h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
-        x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
-        mesh = self._mesh(ndev)
+        mesh, args, x_last = self._sparse_sharded_system(dept, y, ndev)
         learn = make_sharded_sparse_streaming_learn(
             mesh, self.kernel, self.degree, precond=str(self.params.precond))
-        args = shard_sparse_system(mesh, h, b_pad, mask)
         out = learn(
             *args[:5], jnp.asarray(x_last), *args[5:],
             jnp.asarray(self.gamma, self.dtype),
@@ -555,18 +541,35 @@ class CSVM:
         )
         return f"sharded_sparse_implicit[{ndev}]", out
 
-    def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
-        from ..ops.sparse import host_gram_from_csr
-        from .sparse_learn import learn_from_gram_jit, learn_sparse_linear_jit
-
+    def _reject_chunk_flags_on_sparse(self):
+        """Sparse learns cannot chunk CG for checkpoints / per-iteration
+        output — refuse loudly (one message, every sparse path)."""
         if self.params.checkpoint_path is not None or self.params.verbose_cg:
-            # loud instead of silent (the reference has one solver_CG with one
-            # feature set everywhere; here these two flags are dense-path only
-            # for now)
             raise PLSSVMError(
                 "--checkpoint/--verbose_cg are not supported on the sparse "
                 "learn path; set sparse_threshold=0 to force the dense path"
             )
+
+    def _sparse_sharded_system(self, dept, y, ndev):
+        """Shared setup for the sharded sparse learns: pad, pack, shard."""
+        from ..ops.sparse import HybridSparse
+        from ..parallel.sharded import shard_sparse_system
+
+        csr = self.data.csr
+        D = _round_up(dept, PAD_SIZE * ndev)
+        b_pad, mask = self._padded_vectors(D, dept, y)
+        h = HybridSparse.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+        x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
+        mesh = self._mesh(ndev)
+        return mesh, shard_sparse_system(mesh, h, b_pad, mask), x_last
+
+    def _learn_sparse(self, D, dept, f, b_pad, mask, imax):
+        from ..ops.sparse import host_gram_from_csr
+        from .sparse_learn import learn_from_gram_jit, learn_sparse_linear_jit
+
+        # loud instead of silent (the reference has one solver_CG with one
+        # feature set everywhere; here these two flags are dense-path only)
+        self._reject_chunk_flags_on_sparse()
         precond = str(self.params.precond)
         csr = self.data.csr
         common = (

@@ -91,18 +91,13 @@ def learn_sparse_implicit_jit(vals, cols, coo_rows, coo_cols, coo_vals,
     kv_fn, sq = make_streaming_gram_matvec(
         h, int(kernel), degree, gamma, coef0, bm=bm, bn=bn)
 
+    from ..ops.sparse import sparse_q_qa_kii
+
     g_last = hybrid_matvec(h, x_last_dense)  # <x_i, x_last>
     sq_last = jnp.dot(x_last_dense, x_last_dense,
                       preferred_element_type=dtype, precision=PRECISION)
-    if kernel == KernelType.polynomial:
-        q = jax.lax.integer_pow(gamma * g_last + coef0, degree) * mask
-        QA_cost = jax.lax.integer_pow(gamma * sq_last + coef0, degree) + cost_inv
-        kii = jax.lax.integer_pow(gamma * sq + coef0, degree)
-    else:  # rbf
-        d2 = sq + sq_last - 2.0 * g_last
-        q = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask
-        QA_cost = jnp.asarray(1.0, dtype) + cost_inv
-        kii = jnp.ones_like(sq)
+    q, QA_cost, kii = sparse_q_qa_kii(
+        int(kernel), degree, gamma, coef0, g_last, sq_last, sq, mask, cost_inv)
 
     def matvec(v):
         return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)

@@ -497,7 +497,9 @@ def shard_sparse_system(mesh: Mesh, h, b_pad, mask):
     tvals = np.asarray(h.coo_vals)
     dtype = tvals.dtype
     sid = trows // rows_per if trows.size else np.zeros(0, np.int64)
-    m_max = max(1, int(np.bincount(sid, minlength=p).max()) if trows.size else 1)
+    # m_max == 0 when the ELL cap absorbed every nonzero: the learns then
+    # skip all tail scatters statically (has_*_tail is shape-based)
+    m_max = int(np.bincount(sid, minlength=p).max()) if trows.size else 0
     R = np.zeros((p, m_max), np.int32)
     C = np.zeros((p, m_max), np.int32)
     V = np.zeros((p, m_max), dtype)
@@ -559,6 +561,8 @@ def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
         cost_inv = jnp.asarray(1.0, dtype) / cost
         num = lax.axis_size(DATA_AXIS)
 
+        from ..ops.sparse import sparse_q_qa_kii
+
         sq_loc = jnp.sum(vals * vals, axis=1) + jax.ops.segment_sum(
             tval_l * tval_l, trow_l, num_segments=m_loc)
         # q_i = k(x_i, x_last): sparse row x dense vector, then transform
@@ -566,25 +570,24 @@ def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
             tval_l * x_last[tcol_l], trow_l, num_segments=m_loc)
         sq_last = jnp.dot(x_last, x_last, preferred_element_type=dtype,
                           precision=PRECISION)
-        if kernel == KernelType.polynomial:
-            q_loc = lax.integer_pow(gamma * g_last + coef0, degree) * mask_loc
-            QA_cost = lax.integer_pow(gamma * sq_last + coef0, degree) + cost_inv
-            kii = lax.integer_pow(gamma * sq_loc + coef0, degree)
-        else:  # rbf
-            d2 = sq_loc + sq_last - 2.0 * g_last
-            q_loc = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask_loc
-            QA_cost = jnp.asarray(1.0, dtype) + cost_inv
-            kii = jnp.ones_like(sq_loc)
+        q_loc, QA_cost, kii = sparse_q_qa_kii(
+            int(kernel), degree, gamma, coef0, g_last, sq_last, sq_loc,
+            mask_loc, cost_inv)
 
         # largest tile dividing the shard (the product path pads shards to
         # PAD_SIZE multiples; expert callers may feed smaller shards)
         bm = next(b for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
                   if m_loc % b == 0)
+        strategy = streaming_stream_strategy(L, f)
+        # gather strategy: cap the panel tile like the single-chip path —
+        # its (bm, L, bn) gather intermediate scales with bn, and this
+        # strategy only runs in the memory-exhausted extreme-sparsity regime
+        bn = bm if strategy == "mxu" else min(bm, 128)
         contrib = make_streaming_cross_contrib(
             int(kernel), degree, gamma, coef0,
             row_vals=vals, row_cols=cols, row_sq=sq_loc,
             row_trow=trow_l, row_tcol=tcol_l, row_tval=tval_l,
-            f=f, bm=bm, bn=bm, strategy=streaming_stream_strategy(L, f),
+            f=f, bm=bm, bn=bn, strategy=strategy,
         )
         right = [(i, (i + 1) % num) for i in range(num)]
 

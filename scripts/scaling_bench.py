@@ -149,6 +149,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.data == "sparse":
+        # the sparse paths have one strategy per kernel (linear psum /
+        # poly-rbf ring streaming); reflect what actually runs in the metric
+        args.mode = "linear" if args.kernel == "linear" else "implicit"
 
     from plssvm_sparse_fp22_tpu.parallel.mesh import make_mesh
 

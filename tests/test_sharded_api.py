@@ -340,3 +340,16 @@ class TestSparseSharded:
         csr, y = sparse_blobs
         svm = _train_sparse(csr, y, KernelType.rbf, max_iter=25)
         assert svm.last_cg_info["mode"] == "sparse_implicit"
+
+
+def test_wide_sparse_on_mesh_picks_gram_tier(monkeypatch):
+    """Wide data (f >> n) on a mesh: dense X is out of budget but the
+    (D, D) Gram fits — the learn routes to the one-time-Gram cached tier
+    instead of per-iteration ring streaming (orders of magnitude cheaper
+    per CG iteration in this regime)."""
+    # D pads to 1024 (<=4 shards admitted by the rows cap); budget sits
+    # between gram (D^2*8 = 8.4 MB) and dense-per-mesh (D*f*8/ndev = 16.8 MB)
+    monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "10000000")
+    csr, y = _random_sparse(520, 8192, density=0.005, seed=47)
+    svm = _train_sparse(csr, y, KernelType.rbf, max_iter=40)
+    assert svm.last_cg_info["mode"] == "sparse_gram", svm.last_cg_info
