@@ -69,16 +69,63 @@ def learn_sparse_linear_jit(vals, cols, coo_rows, coo_cols, coo_vals,
     return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
 
+@partial(jax.jit, static_argnames=(
+    "kernel", "degree", "ntiles", "Lt", "panel_rows", "precond",
+    "use_pallas", "interpret"))
+def learn_sparse_panel_jit(tvals, tlcols, x_last_dense, b_pad, mask,
+                           gamma, coef0, cost, eps, imax, *, kernel, degree,
+                           ntiles, Lt, panel_rows, precond: str = "none",
+                           use_pallas: bool = False, interpret: bool = False):
+    """Streaming sparse poly/rbf learn, ``panel`` strategy — CG over the
+    implicit kernel matrix recomputed per iteration from the tiled-ELL
+    packing via transient scatter-free densified panels on the fused Pallas
+    pair kernel (``ops/sparse.make_tiled_panel_matvec``): O(n·ntiles·Lt)
+    resident memory, no (n, n) Gram, no full (n, f) densification (the
+    north star; BASELINE.json config 3).  The reference cannot run this
+    regime at all (always densifies, ``parameter.hpp:51-75``)."""
+    from ..ops.sparse import (make_tiled_panel_matvec, sparse_q_qa_kii,
+                              tiled_matvec)
+
+    dtype = tvals.dtype
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+    kv_fn, sq = make_tiled_panel_matvec(
+        tvals, tlcols, int(kernel), degree, gamma, coef0,
+        ntiles=ntiles, Lt=Lt, panel_rows=panel_rows,
+        use_pallas=use_pallas, interpret=interpret)
+
+    f = x_last_dense.shape[0]
+    fp = ntiles * 128
+    x_last_p = (x_last_dense if f == fp
+                else jnp.zeros((fp,), dtype).at[:f].set(x_last_dense))
+    g_last = tiled_matvec(tvals, tlcols, x_last_p, ntiles, Lt)
+    sq_last = jnp.dot(x_last_dense, x_last_dense,
+                      preferred_element_type=dtype, precision=PRECISION)
+    q, QA_cost, kii = sparse_q_qa_kii(
+        int(kernel), degree, gamma, coef0, g_last, sq_last, sq, mask, cost_inv)
+
+    def matvec(v):
+        return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)
+
+    minv = None
+    if precond == "jacobi":
+        minv = _diag_minv(kii, q, mask, QA_cost, cost_inv)
+    res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
+    s = jnp.sum(res.x)
+    t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+
 @partial(jax.jit, static_argnames=("kernel", "degree", "f", "precond", "bm", "bn"))
 def learn_sparse_implicit_jit(vals, cols, coo_rows, coo_cols, coo_vals,
                               x_last_dense, b_pad, mask, gamma, coef0, cost,
                               eps, imax, *, kernel, degree, f,
                               precond: str = "none", bm=None, bn=None):
-    """Streaming sparse poly/rbf learn — CG over the implicit kernel matrix
-    recomputed blockwise from the ELL+COO packing every iteration: O(n·L)
-    memory, no (n, n) Gram, no (n, f) densification (the north star;
-    BASELINE.json config 3).  The reference cannot run this regime at all
-    (always densifies, ``parameter.hpp:51-75``)."""
+    """Streaming sparse poly/rbf learn, ``gather`` strategy — CG over the
+    implicit kernel matrix recomputed blockwise from the ELL+COO packing
+    every iteration with the nnz-proportional gather contraction: O(n·L)
+    memory, no (n, n) Gram, no (n, f) densification.  The extreme-sparsity
+    arm of the streaming tier (moderate densities ride
+    :func:`learn_sparse_panel_jit`)."""
     from ..ops.sparse import (HybridSparse, ELLMatrix, hybrid_matvec,
                               make_streaming_gram_matvec)
 

@@ -293,7 +293,8 @@ def symmetric_enabled() -> bool:
 def _gram_matvec_sym_kernel(
     scalars_ref,  # SMEM (2,): gamma, coef0
     pi_ref,  # SMEM (T,): row-block index of pair t
-    pj_ref,  # SMEM (T,): col-block index of pair t (pj <= pi)
+    pj_ref,  # SMEM (T,): col-block index of pair t (pj <= pi when symmetric)
+    pd_ref,  # SMEM (T,): 1 when pair t is a self block (skip transpose side)
     *refs,
     # exact:  xi, xj, vj_col, vi_col, sqi, sqj8, out1, out2, acc
     # bf16x3: xi_hi, xj_hi, xi_lo, xj_lo, vj_col, vi_col, sqi, sqj8, out1, out2, acc
@@ -314,7 +315,6 @@ def _gram_matvec_sym_kernel(
 
     t = pl.program_id(0)
     k = pl.program_id(1)
-    i = pi_ref[t]
     j = pj_ref[t]
 
     # out2 holds the WHOLE transpose-side output vector, (nIp, bm) in VMEM
@@ -379,7 +379,7 @@ def _gram_matvec_sym_kernel(
         # (1, bm) = (K^T v_i)^T
         nIp, bm = out2_ref.shape
         rows = lax.broadcasted_iota(jnp.int32, (nIp, bm), 0)
-        keep = jnp.logical_and(rows == j, i != j)
+        keep = jnp.logical_and(rows == j, pd_ref[t] == 0)
         out2_ref[:] += jnp.where(keep, jnp.broadcast_to(vK, (nIp, bm)), 0.0)
 
 
@@ -563,6 +563,7 @@ def make_sym_matvec(
     order = np.argsort(tri_i, kind="stable")  # row-major: i fixed, j ascends
     pi = jnp.asarray(tri_i[order], jnp.int32)
     pj = jnp.asarray(tri_j[order], jnp.int32)
+    pd = jnp.asarray((tri_i[order] == tri_j[order]).astype(np.int32))
     T = int(pi.shape[0])
 
     sq = jnp.sum(X * X, axis=1, keepdims=True)  # (Dp, 1)
@@ -578,8 +579,8 @@ def make_sym_matvec(
         if precision == lax.Precision.HIGH:
             precision = lax.Precision.HIGHEST  # Mosaic has no HIGH dot lowering
 
-    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pi[t], k))
-    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj: (pj[t], k))
+    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pi[t], k))
+    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pj[t], k))
     if decomp == "bf16x3":
         X_hi, X_lo = _split_bf16(X)
         x_operands = (X_hi, X_hi, X_lo, X_lo)
@@ -589,17 +590,17 @@ def make_sym_matvec(
         x_specs = [x_spec, y_spec]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(T, nK),
         in_specs=x_specs + [
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # vj padded row
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # vi col
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),  # sqi
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj: (pj[t], 0)),  # sqj padded row
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # vj padded row
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # vi col
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # sqi
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # sqj padded row
         ],
         out_specs=[
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj: (pi[t], 0)),
-            pl.BlockSpec((nIp, bm), lambda t, k, s, pi, pj: (0, 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
+            pl.BlockSpec((nIp, bm), lambda t, k, s, pi, pj, pd: (0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
     )
@@ -628,7 +629,7 @@ def make_sym_matvec(
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(scalars, pi, pj, *x_operands, v_row8, v_col, sq, sq_row8)
+        )(scalars, pi, pj, pd, *x_operands, v_row8, v_col, sq, sq_row8)
         return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(out_dtype)
 
     return matvec
@@ -657,6 +658,195 @@ def gram_matvec_pallas_sym(
         kernel, X, degree=degree, gamma=gamma, coef0=coef0, bm=bm, bk=bk,
         interpret=interpret, precision=precision,
     )(v)
+
+
+# --------------------------------------------------------------------------
+# panel-pair variant — the streaming-sparse hot path (transient dense panels)
+# --------------------------------------------------------------------------
+
+def pair_gram_contrib(
+    kernel: KernelType,
+    Xi,  # (Di, f) row panel (zero-padded rows allowed)
+    Xj,  # (Dj, f) column panel (pass Xi itself when same=True)
+    v_i,  # (Di,)
+    v_j,  # (Dj,)
+    *,
+    same: bool,
+    sq_i=None,  # (Di,) row squared norms (computed here if None)
+    sq_j=None,
+    degree: int = 3,
+    gamma=1.0,
+    coef0=0.0,
+    bm: int | None = None,
+    bk: int = FEATURE_BLOCK_SIZE,
+    interpret: bool = False,
+    precision=PALLAS_PRECISION,
+):
+    """Panel-pair contributions of ``K = f(Xi @ Xj^T)`` without materializing
+    K — the same fused-transform/epilogue architecture as
+    :func:`make_sym_matvec` generalized to two operands for the streaming
+    sparse tier (panels are *transient*, densified per CG iteration, so all
+    preparation runs inline rather than hoisted into a closure).
+
+    Returns ``(out_i, out_j)``:
+
+    - ``same=False`` (cross panels): every (bi, bj) block pair runs;
+      ``out_i = K @ v_j`` and ``out_j = K^T @ v_i`` — both directions of the
+      symmetric Gram come from ONE pass over the blocks (the reference's
+      atomicAdd transpose scatter, ``svm_kernel.cu:74,85``, replaced by the
+      race-free resident-vector accumulation of the sym kernel).
+    - ``same=True`` (diagonal panel, ``Xj is Xi``): only lower-triangular
+      block pairs run; ``out_i`` carries their ``K @ v_j`` contributions and
+      ``out_j`` the strictly-lower transpose contributions, so
+      ``out_i + out_j == K(Xi, Xi) @ v`` — the caller adds both into the
+      same panel output.
+
+    Padding rows must be zero with zero ``v`` entries (their contributions
+    vanish; outputs are sliced back to the real row counts).
+    """
+    Di, f = Xi.shape
+    Dj = Xj.shape[0]
+    out_dtype = Xi.dtype
+    if out_dtype == jnp.float64 and not interpret:
+        dtype = jnp.dtype(jnp.float32)
+    else:
+        dtype = jnp.dtype(out_dtype)
+    acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    Xi = Xi.astype(dtype)
+    Xj = Xi if same else Xj.astype(dtype)
+
+    bm, bk = _effective_sym_blocks(max(Di, Dj), f, bm, bk)
+    Dip, Djp = _round_up(Di, bm), _round_up(Dj, bm)
+    fp = _round_up(f, 128)
+    bk = min(bk, fp)
+    fp = _round_up(fp, bk)
+
+    if sq_i is None:
+        sq_i = jnp.sum(Xi * Xi, axis=1)
+    if sq_j is None:
+        sq_j = sq_i if same else jnp.sum(Xj * Xj, axis=1)
+    sq_i = sq_i.astype(dtype)
+    sq_j = sq_j.astype(dtype)
+
+    def _pad2(A, rows):
+        if A.shape == (rows, fp):
+            return A
+        return jnp.zeros((rows, fp), dtype).at[:A.shape[0], :f].set(A)
+
+    def _pad1(x, rows):
+        x = x.astype(dtype)
+        return x if x.shape[0] == rows else jnp.zeros((rows,), dtype).at[:x.shape[0]].set(x)
+
+    Xip = _pad2(Xi, Dip)
+    Xjp = Xip if same and Djp == Dip else _pad2(Xj, Djp)
+    nI, nJ, nK = Dip // bm, Djp // bm, fp // bk
+    nJp = _round_up(nJ, 8)
+
+    if same:
+        tri_i, tri_j = np.tril_indices(nI)
+        order = np.argsort(tri_i, kind="stable")
+        pi_np, pj_np = tri_i[order], tri_j[order]
+    else:
+        pi_np = np.repeat(np.arange(nI), nJ)
+        pj_np = np.tile(np.arange(nJ), nI)
+    pi = jnp.asarray(pi_np, jnp.int32)
+    pj = jnp.asarray(pj_np, jnp.int32)
+    # pd == 1 marks a self block: its transpose contribution is already the
+    # block's own (it IS the diagonal), so the out2 side must skip it
+    pd = jnp.asarray(((pi_np == pj_np) if same else np.zeros_like(pi_np)).astype(np.int32))
+    T = int(pi.shape[0])
+
+    sqi_col = _pad1(sq_i, Dip)[:, None]
+    sqj_row8 = _rowsq_padded(_pad1(sq_j, Djp)[:, None], nJ, bm)
+    vi_col = _pad1(v_i, Dip)[:, None]
+    vj_row8 = _rowsq_padded(_pad1(v_j, Djp)[:, None], nJ, bm)
+    scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
+
+    if precision in (lax.Precision.HIGH,) and dtype == jnp.float32:
+        decomp = "bf16x3"
+    else:
+        decomp = "exact"
+        if precision == lax.Precision.HIGH:
+            precision = lax.Precision.HIGHEST
+
+    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pi[t], k))
+    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pj[t], k))
+    if decomp == "bf16x3":
+        Xi_hi, Xi_lo = _split_bf16(Xip)
+        Xj_hi, Xj_lo = (Xi_hi, Xi_lo) if Xjp is Xip else _split_bf16(Xjp)
+        x_operands = (Xi_hi, Xj_hi, Xi_lo, Xj_lo)
+        x_specs = [x_spec, y_spec, x_spec, y_spec]
+    else:
+        x_operands = (Xip, Xjp)
+        x_specs = [x_spec, y_spec]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T, nK),
+        in_specs=x_specs + [
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
+            pl.BlockSpec((nJp, bm), lambda t, k, s, pi, pj, pd: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
+    )
+    out1, out2 = pl.pallas_call(
+        functools.partial(
+            _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
+            precision=precision, decomp=decomp, acc_dtype=acc_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Dip, 1), acc_dtype),
+            jax.ShapeDtypeStruct((nJp, bm), acc_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
+            bytes_accessed=(2 * T * bm * fp + 2 * Dip + 2 * Djp + T * bm)
+            * dtype.itemsize,
+            transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
+        ),
+        interpret=interpret,
+    )(scalars, pi, pj, pd, *x_operands, vj_row8, vi_col, sqi_col, sqj_row8)
+    out_i = out1[:Di, 0].astype(out_dtype)
+    out_j = out2[:nJ].reshape(Djp)[:Dj].astype(out_dtype)
+    return out_i, out_j
+
+
+def pair_gram_contrib_xla(
+    kernel: KernelType,
+    Xi,
+    Xj,
+    v_i,
+    v_j,
+    *,
+    same: bool,
+    sq_i=None,
+    sq_j=None,
+    degree: int = 3,
+    gamma=1.0,
+    coef0=0.0,
+):
+    """Plain-XLA twin of :func:`pair_gram_contrib` (same contract): one
+    fused GEMM + transform per panel pair.  Used off-TPU (tests, CPU
+    fallback) where materializing the (Di, Dj) panel block is fine."""
+    from .kernel_functions import gram_block
+
+    K = gram_block(kernel, Xi, Xj, degree, gamma, coef0,
+                   Xi_sqnorm=sq_i, Xj_sqnorm=sq_j)
+    dtype = Xi.dtype
+    out_i = jnp.dot(K, v_j.astype(dtype), preferred_element_type=dtype,
+                    precision=PRECISION)
+    if same:
+        return out_i, jnp.zeros_like(v_j, dtype)
+    out_j = jnp.dot(K.T, v_i.astype(dtype), preferred_element_type=dtype,
+                    precision=PRECISION)
+    return out_i, out_j
 
 
 def gram_matvec_pallas_auto(

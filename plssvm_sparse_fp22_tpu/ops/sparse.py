@@ -177,6 +177,168 @@ def hybrid_row_sqnorms(h: HybridSparse) -> jnp.ndarray:
     return out
 
 
+@dataclass
+class TiledELL:
+    """Lane-tiled ELL: each row's nonzeros are bucketed per 128-wide column
+    tile and padded to the worst per-(row, tile) fill ``Lt``.
+
+    This is the packing that makes *scatter-free* densification possible on
+    TPU: a (rows, tile) bucket densifies with a broadcast compare against the
+    lane iota (``lcols == iota(128)``) — pure VPU work, ``Lt`` ops per dense
+    element, no XLA scatter anywhere (device scatter is serialized on TPU and
+    its compiles are minutes-slow through remote relays; see docs/PERF.md).
+
+    Storage is ``rows * ntiles * Lt`` values+int32 local columns; since
+    ``Lt <= 128`` it never exceeds the 128-padded dense size, and for
+    moderate uniform sparsity ``Lt`` sits close to the per-tile fill (a few
+    slots).  Padding slots carry value 0 / lcol 0 (harmless).  The extreme-
+    sparsity regime (fill orders of magnitude below one slot per tile, e.g.
+    news20) stays on the nnz-proportional ``gather`` strategy instead.
+    """
+
+    vals: jnp.ndarray  # (rows, ntiles * Lt)
+    lcols: jnp.ndarray  # (rows, ntiles * Lt) int32 in [0, 128)
+    shape: tuple[int, int]  # logical (rows, f)
+    ntiles: int
+    Lt: int
+
+    @property
+    def padded_features(self) -> int:
+        return self.ntiles * 128
+
+    @staticmethod
+    def from_csr(csr: sp.csr_matrix, dtype=np.float32,
+                 pad_rows: int | None = None) -> "TiledELL":
+        csr = csr.tocsr()
+        csr.sum_duplicates()
+        csr.sort_indices()
+        n, f = csr.shape
+        rows_out = pad_rows if pad_rows is not None else n
+        ntiles = max(1, -(-f // 128))
+        nnz_per_row = np.diff(csr.indptr)
+        rows = np.repeat(np.arange(n), nnz_per_row)
+        cols = csr.indices
+        tile = cols // 128
+        lcol = (cols % 128).astype(np.int32)
+        # slot position within each (row, tile) bucket: indices are sorted
+        # per row, so bucket entries are contiguous in the CSR stream
+        key = rows.astype(np.int64) * ntiles + tile
+        if key.size:
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            bucket_start = np.repeat(starts, np.diff(np.r_[starts, key.size]))
+            slot = np.arange(key.size) - bucket_start
+            Lt = int(slot.max()) + 1
+        else:
+            slot = np.zeros(0, np.int64)
+            Lt = 1
+        vals = np.zeros((rows_out, ntiles * Lt), dtype=dtype)
+        lcols = np.zeros((rows_out, ntiles * Lt), dtype=np.int32)
+        pos = tile * Lt + slot
+        vals[rows, pos] = csr.data
+        lcols[rows, pos] = lcol
+        return TiledELL(vals=jnp.asarray(vals), lcols=jnp.asarray(lcols),
+                        shape=(rows_out, f), ntiles=ntiles, Lt=Lt)
+
+
+def densify_tiled(vals, lcols, ntiles: int, Lt: int):
+    """Densify a tiled-ELL slab (m, ntiles*Lt) -> (m, ntiles*128) with the
+    broadcast-compare trick — NO scatter: ``out[:, t, c] = sum_l vals[:, t, l]
+    * (lcols[:, t, l] == c)``.  ``Lt`` fused VPU passes over the dense
+    output; XLA never materializes the (m, ntiles, Lt, 128) intermediate
+    because the slot loop is unrolled into accumulating adds."""
+    m = vals.shape[0]
+    V = vals.reshape(m, ntiles, Lt)
+    C = lcols.reshape(m, ntiles, Lt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    out = jnp.zeros((m, ntiles, 128), vals.dtype)
+    for l in range(Lt):
+        out = out + V[:, :, l:l + 1] * (C[:, :, l:l + 1] == lane)
+    return out.reshape(m, ntiles * 128)
+
+
+def tiled_global_cols(ntiles: int, Lt: int):
+    """Per-slot tile base offsets: global col = lcols + base (static)."""
+    return (jnp.arange(ntiles * Lt, dtype=jnp.int32) // Lt) * 128
+
+
+def tiled_matvec(tell_vals, tell_lcols, u, ntiles: int, Lt: int):
+    """X @ u from the tiled packing for a dense u of length >= ntiles*128
+    (zero-padded): gather + row sum, nnz-proportional (padding slots hit
+    the tile base with value 0)."""
+    gcols = tell_lcols + tiled_global_cols(ntiles, Lt)[None, :]
+    return jnp.sum(tell_vals * u[gcols], axis=1)
+
+
+def stream_panel_rows(D: int, fp: int, itemsize: int, budget_bytes: int) -> int:
+    """Row count of the transient dense panels of the ``panel`` streaming
+    strategy.  During one panel-pair contribution ~4 panel-sized f32 buffers
+    are live (two dense panels + their bf16 hi/lo splits); a safety factor
+    of 2 covers XLA temporaries.  Floor of 256 rows keeps tiny budgets
+    functional (the guard is a budget, not a hard allocator limit)."""
+    per_row = max(1, 8 * fp * itemsize)
+    C = budget_bytes // per_row
+    C = max(256, (C // 256) * 256)
+    return min(D, C)
+
+
+def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
+                            degree: int, gamma, coef0, *, ntiles: int,
+                            Lt: int, panel_rows: int, use_pallas: bool,
+                            interpret: bool = False):
+    """``v -> K(X, X) @ v`` for tiled-ELL-packed X via transient dense
+    panels — the streaming north-star path rebuilt scatter-free:
+
+    1. rows are cut into panels of ``panel_rows`` (budget-sized; the full
+       dense X never exists),
+    2. per CG iteration each needed panel densifies on the fly
+       (:func:`densify_tiled`, compare-trick — VPU work ~``Lt`` ops/element,
+       a few % of the pair product's MXU time),
+    3. every lower-triangular panel pair runs the fused Pallas pair kernel
+       (:func:`..pallas_matvec.pair_gram_contrib`): MXU block products,
+       fused kernel transform, BOTH direction epilogues in one pass —
+       triangular FLOPs like the dense flagship kernel.
+
+    Memory: O(rows * ntiles * Lt) resident + O(panel_rows * f) transient.
+    Returns ``(matvec, sq)``.
+    """
+    from ..types import KernelType
+    from .pallas_matvec import pair_gram_contrib, pair_gram_contrib_xla
+
+    kernel = KernelType(kernel_int)
+    D = tell_vals.shape[0]
+    bounds = list(range(0, D, panel_rows)) + [D]  # ragged last panel is fine
+    nP = len(bounds) - 1
+    sq = jnp.sum(tell_vals * tell_vals, axis=1)
+
+    def densify(lo, hi):
+        return densify_tiled(tell_vals[lo:hi], tell_lcols[lo:hi], ntiles, Lt)
+
+    def matvec(v):
+        v = v.astype(tell_vals.dtype)
+        outs = [jnp.zeros((bounds[p + 1] - bounds[p],), tell_vals.dtype)
+                for p in range(nP)]
+        for I in range(nP):
+            loI, hiI = bounds[I], bounds[I + 1]
+            XdI = densify(loI, hiI)
+            vi, sqi = v[loI:hiI], sq[loI:hiI]
+            for J in range(I + 1):
+                loJ, hiJ = bounds[J], bounds[J + 1]
+                same = J == I
+                XdJ = XdI if same else densify(loJ, hiJ)
+                vj, sqj = v[loJ:hiJ], sq[loJ:hiJ]
+                fn = pair_gram_contrib if use_pallas else pair_gram_contrib_xla
+                kw = dict(same=same, sq_i=sqi, sq_j=sqj, degree=degree,
+                          gamma=gamma, coef0=coef0)
+                if use_pallas:
+                    kw["interpret"] = interpret
+                oi, oj = fn(kernel, XdI, XdJ, vi, vj, **kw)
+                outs[I] = outs[I] + oi
+                outs[J] = outs[J] + oj
+        return jnp.concatenate(outs) if nP > 1 else outs[0]
+
+    return matvec, sq
+
+
 def host_gram_from_csr(csr: sp.csr_matrix, dept: int | None = None) -> np.ndarray:
     """Dense Gram G = X X^T computed with scipy sparse BLAS (host, f64).
 
@@ -192,7 +354,7 @@ def host_cross_gram_from_csr(csr_a: sp.csr_matrix, csr_b: sp.csr_matrix) -> np.n
     return np.asarray((csr_a @ csr_b.T).todense(), dtype=np.float64)
 
 
-def device_gram_from_ell(ell: ELLMatrix, *, row_block: int = 256) -> jnp.ndarray:
+def device_gram_from_ell(ell: ELLMatrix) -> jnp.ndarray:
     """Dense Gram ``G = X X^T`` assembled on device from the ELL packing:
     one O(nnz) scatter densifies X (transient (n, f) buffer, budget-gated
     by the caller) and one big MXU product builds G.
@@ -225,39 +387,39 @@ def _transform_block(kernel_int: int, G, sq_i, sq_j, degree, gamma, coef0):
 
 
 def streaming_stream_strategy(L: int, f: int) -> str:
-    """Pick the streaming-block contraction strategy: ``mxu`` scatter-
-    densifies both blocks and runs a dense MXU product (O(bm·f·bn) FLOPs at
-    matrix-unit rate); ``gather`` contracts ELL slots against the panel on
-    the VPU (O(nnz·bn) ops).  Measured on v5e (4096 rows, f=2048, L~100)
-    the MXU path is ~80x faster, so the gather path only wins at extreme
-    sparsity — roughly density below ~1/1024 (news20-scale, f ~ 1.3M,
-    density 0.03%).  ``PLSSVM_SPARSE_STREAM`` forces either."""
+    """Pick the streaming contraction strategy: ``panel`` densifies
+    transient row panels scatter-free (tiled-ELL compare trick) and runs the
+    fused Pallas pair kernel at MXU rate (O(n²·f) FLOPs, O(panel·f)
+    transient memory); ``gather`` contracts ELL slots against the panel on
+    the VPU (O(nnz·bn) ops).  The MXU's ~100x per-op rate advantage means
+    ``gather`` only wins at extreme sparsity — roughly row fill below
+    f/1024 (news20-scale: f ~ 1.3M, density 0.03%).
+    ``PLSSVM_SPARSE_STREAM`` forces either (legacy value ``mxu`` maps to
+    ``panel``, which replaced the scatter-densify implementation — XLA
+    device scatter is serialized on TPU, measured ~50x off roofline)."""
     forced = os.environ.get("PLSSVM_SPARSE_STREAM", "auto")
-    if forced in ("mxu", "gather"):
+    if forced == "mxu":
+        return "panel"
+    if forced in ("panel", "gather"):
         return forced
-    return "gather" if L * 1024 < f else "mxu"
+    return "gather" if L * 1024 < f else "panel"
 
 
 def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
                                gamma, coef0, *, bm: int | None = None,
                                bn: int | None = None):
-    """``v -> K(X, X) @ v`` streamed from the ELL+COO packing — the sparse
-    north star: O(n·L) resident memory, the (n, n) kernel matrix and the
-    (n, f) dense data are NEVER materialized (closes the reference's
-    always-densify capability gap, ``parameter.hpp:51-75``).
+    """``v -> K(X, X) @ v`` streamed from the ELL+COO packing with the
+    nnz-proportional ``gather`` contraction — the extreme-sparsity arm of
+    the streaming tier (O(n·L) resident memory, the (n, n) kernel matrix
+    and the (n, f) dense data are NEVER materialized; closes the
+    reference's always-densify capability gap, ``parameter.hpp:51-75``).
 
-    Two contraction strategies (:func:`streaming_stream_strategy`):
-
-    - ``mxu`` (default): per block pair, both sparse blocks are
-      scatter-densified on the fly — the J panel transposed to (f, bn), the
-      I block to (bm, f) — and the Gram block is one dense MXU product.
-      Peak live memory is two dense blocks; the full dense X never exists.
-      Runs at dense-implicit speed (the MXU's rate advantage dwarfs the
-      nnz-proportional saving for all but extreme sparsity).
-    - ``gather``: every row block I contracts its ELL slots against the J
-      panel with a vectorized gather — O(nnz_I · bn) VPU work instead of
-      O(bm · f · bn) MXU FLOPs, the win only when the row fill L is
-      orders of magnitude below f (news20-scale data).
+    Every row block I contracts its ELL slots against the J panel with a
+    vectorized gather — O(nnz_I · bn) VPU work instead of O(bm · f · bn)
+    MXU FLOPs, the win when the row fill L is orders of magnitude below f
+    (news20-scale data).  Moderate-density data takes the ``panel``
+    strategy instead (:func:`make_tiled_panel_matvec` — transient
+    scatter-free densified panels on the fused Pallas pair kernel).
 
     The fused kernel transform and the ``@ v_J`` epilogue run on the block
     while it is live, so per-iteration HBM traffic stays O(n²·L̄/bn + n).
@@ -265,12 +427,11 @@ def make_streaming_gram_matvec(h: HybridSparse, kernel_int: int, degree: int,
     Rows beyond the real data must be zero (zero slots contribute nothing).
     """
     n, f = h.shape
-    L = h.ell.row_capacity
-    strategy = streaming_stream_strategy(L, f)
+    strategy = "gather"
     if bm is None:
         bm = 512 if n % 512 == 0 else 128
     if bn is None:
-        bn = (512 if strategy == "mxu" else 128) if n % 512 == 0 else 128
+        bn = 128 if n % 128 == 0 else bm
     if n % bm != 0 or n % bn != 0:
         raise ValueError(f"padded rows {n} must divide by bm={bm}, bn={bn}")
 
@@ -314,9 +475,10 @@ def sparse_q_qa_kii(kernel_int: int, degree: int, gamma, coef0,
 def make_streaming_cross_contrib(kernel_int: int, degree: int, gamma, coef0,
                                  *, row_vals, row_cols, row_sq,
                                  row_trow, row_tcol, row_tval,
-                                 f: int, bm: int, bn: int, strategy: str):
-    """Streaming cross-Gram contraction core shared by the single-chip
-    streaming matvec and the ring-sharded multi-chip variant:
+                                 f: int, bm: int, bn: int,
+                                 strategy: str = "gather"):
+    """Streaming cross-Gram ``gather`` contraction core shared by the
+    single-chip streaming matvec and the ring-sharded multi-chip variant:
 
     ``contrib(panel_vals, panel_cols, panel_trow, panel_tcol, panel_tval,
     panel_sq, v) -> sum_j K(x_i^row, x_j^panel) v_j`` over all panel rows,
@@ -324,8 +486,18 @@ def make_streaming_cross_contrib(kernel_int: int, degree: int, gamma, coef0,
     self-Gram case passes the row side's own arrays as the panel; the ring
     case passes the in-flight neighbor shard (panel row/tail indices are
     panel-local).  Padding rows/slots are zero and contribute nothing.
+
+    Per J panel the columns are gather-densified transposed ONCE via a
+    compare against a row iota (scatter-free), then every row block I
+    contracts its ELL slots against the panel with a vectorized gather —
+    O(nnz_I · bn) VPU work.  This is the extreme-sparsity strategy; the
+    MXU ``panel`` strategy (:func:`make_tiled_panel_matvec`) replaced the
+    old scatter-densify branch (VERDICT r3: XLA scatter serializes on TPU).
     """
-    from .kernel_functions import PRECISION
+    if strategy != "gather":
+        raise ValueError(
+            f"unknown streaming contraction strategy '{strategy}' "
+            "(the dense-block path moved to make_tiled_panel_matvec)")
 
     n_rows, L = row_vals.shape
     if n_rows % bm != 0:
@@ -336,7 +508,6 @@ def make_streaming_cross_contrib(kernel_int: int, degree: int, gamma, coef0,
     Vb = row_vals.reshape(nI, bm, L)
     Cb = row_cols.reshape(nI, bm, L)
     sqb = row_sq.reshape(nI, bm)
-    row_in_bm = jnp.arange(bm)[:, None]  # (bm, 1) broadcast vs (bm, L)
     row_in_bn = jnp.arange(bn)[:, None]  # (bn, 1) broadcast vs (bn, Lp)
 
     def contrib(panel_vals, panel_cols, panel_trow, panel_tcol, panel_tval,
@@ -362,48 +533,25 @@ def make_streaming_cross_contrib(kernel_int: int, degree: int, gamma, coef0,
             vJ = jax.lax.dynamic_slice(v, (j0,), (bn,))
             sqJ = jax.lax.dynamic_slice(panel_sq, (j0,), (bn,))
 
-            if strategy == "mxu":
-                def i_fn(args):
-                    vals_i, cols_i, sq_i, i0 = args
-                    # scatter-densify the I block and hit the MXU: the
-                    # (bm, f) x (f, bn) product runs at matrix-unit rate —
-                    # ~80x the gather path on v5e at news20-unlike densities
-                    Xi = jnp.zeros((bm, f), dtype).at[row_in_bm, cols_i].add(vals_i)
-                    if has_row_tail:
-                        in_i = jnp.logical_and(row_trow >= i0,
-                                               row_trow < i0 + bm)
-                        iloc = jnp.clip(row_trow - i0, 0, bm - 1)
-                        Xi = Xi.at[iloc, row_tcol].add(
-                            jnp.where(in_i, row_tval, 0.0))
-                    G = jnp.dot(Xi, XJdT, preferred_element_type=dtype,
-                                precision=PRECISION)
-                    K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
-                                         gamma, coef0)
-                    return K @ vJ  # (bm,)
-
-                xs = (Vb, Cb, sqb, jnp.arange(nI, dtype=jnp.int32) * bm)
+            if has_row_tail:
+                # I-side tail: G[r, :] += val_e * XJdT[col_e, :] for
+                # every tail entry e of row r
+                G_tail = jax.ops.segment_sum(
+                    row_tval[:, None] * XJdT[row_tcol], row_trow,
+                    num_segments=n_rows,
+                ).reshape(nI, bm, bn)
             else:
-                if has_row_tail:
-                    # I-side tail: G[r, :] += val_e * XJdT[col_e, :] for
-                    # every tail entry e of row r
-                    G_tail = jax.ops.segment_sum(
-                        row_tval[:, None] * XJdT[row_tcol], row_trow,
-                        num_segments=n_rows,
-                    ).reshape(nI, bm, bn)
-                else:
-                    G_tail = jnp.zeros((nI, 1, 1), dtype)  # broadcast no-op
+                G_tail = jnp.zeros((nI, 1, 1), dtype)  # broadcast no-op
 
-                def i_fn(args):
-                    vals_i, cols_i, sq_i, tail_i = args
-                    gath = XJdT[cols_i]  # (bm, L, bn) vectorized gather
-                    G = jnp.einsum("ml,mlb->mb", vals_i, gath) + tail_i
-                    K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
-                                         gamma, coef0)
-                    return K @ vJ  # (bm,)
+            def i_fn(args):
+                vals_i, cols_i, sq_i, tail_i = args
+                gath = XJdT[cols_i]  # (bm, L, bn) vectorized gather
+                G = jnp.einsum("ml,mlb->mb", vals_i, gath) + tail_i
+                K = _transform_block(kernel_int, G, sq_i, sqJ, degree,
+                                     gamma, coef0)
+                return K @ vJ  # (bm,)
 
-                xs = (Vb, Cb, sqb, G_tail)
-
-            out = jax.lax.map(i_fn, xs).reshape(n_rows)
+            out = jax.lax.map(i_fn, (Vb, Cb, sqb, G_tail)).reshape(n_rows)
             return acc + out, None
 
         acc0 = jnp.zeros((n_rows,), dtype)

@@ -523,23 +523,170 @@ def shard_sparse_system(mesh: Mesh, h, b_pad, mask):
     )
 
 
+def shard_sparse_tiled_system(mesh: Mesh, tell, b_pad, mask):
+    """Place a padded tiled-ELL system on the mesh (rows sharded) for the
+    panel-strategy streaming ring.  Returns ``(tvals, tlcols, b, mask)``."""
+    p = mesh.devices.size
+    n = tell.vals.shape[0]
+    if n % p != 0:
+        raise ValueError(f"padded rows {n} must divide over the {p}-device mesh")
+    row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    mat_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    return (
+        jax.device_put(tell.vals, mat_sharding),
+        jax.device_put(tell.lcols, mat_sharding),
+        jax.device_put(b_pad, row_sharding),
+        jax.device_put(mask, row_sharding),
+    )
+
+
+@lru_cache(maxsize=None)
+def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
+                                    degree: int, *, ntiles: int, Lt: int,
+                                    panel_rows: int, precond: str = "none",
+                                    use_pallas: bool | None = None):
+    """Ring-sharded streaming poly/rbf learn over tiled-ELL shards with the
+    ``panel`` contraction — the HBM-exceeding sparse regime on a mesh
+    (BASELINE.json config 5) at MXU rate: each chip holds only its
+    (D/p, ntiles·Lt) tiled slab; per CG iteration the slabs walk the ring
+    (``lax.ppermute`` — tiled slabs, ~``2·Lt/128`` of the dense ring's ICI
+    bytes) and each hop densifies budget-sized row panels scatter-free
+    (``ops/sparse.densify_tiled``) and runs the fused Gram-matvec Pallas
+    kernel per panel pair, exactly like the dense ring hop.  Peak memory is
+    two tiled slabs + two transient dense panels per chip; the kernel
+    matrix and the full dense X never materialize.
+
+    Returns ``fn(tvals, tlcols, x_last_dense, b, mask, gamma, coef0, cost,
+    eps, imax)`` with system arrays sharded as produced by
+    :func:`shard_sparse_tiled_system`.
+    """
+    from ..ops.sparse import densify_tiled, sparse_q_qa_kii, tiled_matvec
+    from ..solver.cg import cg_solve
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(tvals, tlcols, x_last, b_loc, mask_loc,
+            gamma, coef0, cost, eps, imax):
+        dtype = tvals.dtype
+        f = x_last.shape[0]
+        fp = ntiles * 128
+        m_loc = tvals.shape[0]
+        cost_inv = jnp.asarray(1.0, dtype) / cost
+        num = lax.axis_size(DATA_AXIS)
+        bounds = list(range(0, m_loc, panel_rows)) + [m_loc]
+        nP = len(bounds) - 1
+
+        sq_loc = jnp.sum(tvals * tvals, axis=1)
+        x_last_p = (x_last if f == fp
+                    else jnp.zeros((fp,), dtype).at[:f].set(x_last))
+        g_last = tiled_matvec(tvals, tlcols, x_last_p, ntiles, Lt)
+        sq_last = jnp.dot(x_last, x_last, preferred_element_type=dtype,
+                          precision=PRECISION)
+        q_loc, QA_cost, kii = sparse_q_qa_kii(
+            int(kernel), degree, gamma, coef0, g_last, sq_last, sq_loc,
+            mask_loc, cost_inv)
+
+        def densify(v, c, lo, hi):
+            return densify_tiled(v[lo:hi], c[lo:hi], ntiles, Lt)
+
+        if use_pallas:
+            from ..ops.pallas_matvec import gram_matvec_pallas
+
+            interpret = jax.default_backend() != "tpu"
+
+            def panel_product(XdI, XdJ, sqJ, vJ):
+                # fused Pallas Gram-matvec on the transient panel pair;
+                # K(XdI, XdJ) never hits HBM (the dense-ring hop reused)
+                return gram_matvec_pallas(
+                    kernel, XdI, vJ, degree=degree, gamma=gamma,
+                    coef0=coef0, Y=XdJ, interpret=interpret,
+                ).astype(dtype)
+
+        else:
+
+            def panel_product(XdI, XdJ, sqJ, vJ):
+                Kblk = gram_block(kernel, XdI, XdJ, degree, gamma, coef0,
+                                  Xj_sqnorm=sqJ)
+                return jnp.dot(Kblk, vJ, preferred_element_type=dtype,
+                               precision=PRECISION)
+
+        def hop_contrib(bv, bc, bsq, vb):
+            """Local rows x in-flight slab: densify panels of both sides on
+            the fly (scatter-free) and sum fused panel products."""
+            outs = []
+            for I in range(nP):
+                loI, hiI = bounds[I], bounds[I + 1]
+                XdI = densify(tvals, tlcols, loI, hiI)
+                acc = jnp.zeros((hiI - loI,), dtype)
+                for J in range(nP):
+                    loJ, hiJ = bounds[J], bounds[J + 1]
+                    XdJ = densify(bv, bc, loJ, hiJ)
+                    acc = acc + panel_product(XdI, XdJ, bsq[loJ:hiJ],
+                                              vb[loJ:hiJ])
+                outs.append(acc)
+            return jnp.concatenate(outs) if nP > 1 else outs[0]
+
+        right = [(i, (i + 1) % num) for i in range(num)]
+
+        def matvec(v_loc):
+            def step(carry, _):
+                bv, bc, bsq, vb, acc = carry
+                acc = acc + hop_contrib(bv, bc, bsq, vb)
+                bv, bc, bsq, vb = (
+                    lax.ppermute(x, DATA_AXIS, right)
+                    for x in (bv, bc, bsq, vb))
+                return (bv, bc, bsq, vb, acc), None
+
+            init = (tvals, tlcols, sq_loc, v_loc, jnp.zeros_like(v_loc))
+            (*_, Kv_loc), _ = lax.scan(step, init, None, length=num)
+            return _local_corrections(Kv_loc, v_loc, q_loc, mask_loc,
+                                      QA_cost, cost_inv)
+
+        minv = None
+        if precond == "jacobi":
+            from ..ops.matvec import jacobi_minv_from_kii
+
+            minv = jacobi_minv_from_kii(kii, q_loc, mask_loc, QA_cost,
+                                        cost_inv)
+
+        res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
+                       dot=_psum_dot)
+        s = lax.psum(jnp.sum(res.x), DATA_AXIS)
+        t = _psum_dot(q_loc, res.x)
+        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+
+    return jax.jit(run)
+
+
 @lru_cache(maxsize=None)
 def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
                                         degree: int, precond: str = "none"):
-    """Ring-sharded streaming poly/rbf learn over ELL+COO shards — the
-    HBM-exceeding sparse regime on a mesh (BASELINE.json config 5): each
-    chip holds only its (D/p, L) slab; per CG iteration the shards walk the
-    ring (``lax.ppermute``) and each hop runs the streaming cross-Gram
-    contraction (:func:`ops.sparse.make_streaming_cross_contrib`) of local
-    rows against the in-flight shard.  Peak memory is two sparse shards
-    per chip; the kernel matrix, dense X, and even a dense shard never
-    materialize.
+    """Ring-sharded streaming poly/rbf learn over ELL+COO shards with the
+    nnz-proportional ``gather`` contraction — the extreme-sparsity arm of
+    the HBM-exceeding sparse regime on a mesh (BASELINE.json config 5):
+    each chip holds only its (D/p, L) slab; per CG iteration the shards
+    walk the ring (``lax.ppermute``) and each hop runs the streaming
+    cross-Gram contraction (:func:`ops.sparse.make_streaming_cross_contrib`)
+    of local rows against the in-flight shard.  Peak memory is two sparse
+    shards per chip; the kernel matrix, dense X, and even a dense shard
+    never materialize.  Moderate densities ride
+    :func:`make_sharded_sparse_panel_learn` instead (MXU-rate panels).
 
     Returns ``fn(vals, cols, trow, tcol, tval, x_last_dense, b, mask,
     gamma, coef0, cost, eps, imax)`` with system arrays sharded as produced
     by :func:`shard_sparse_system`.
     """
-    from ..ops.sparse import make_streaming_cross_contrib, streaming_stream_strategy
+    from ..ops.sparse import make_streaming_cross_contrib
     from ..solver.cg import cg_solve
 
     @partial(
@@ -578,16 +725,15 @@ def make_sharded_sparse_streaming_learn(mesh: Mesh, kernel: KernelType,
         # PAD_SIZE multiples; expert callers may feed smaller shards)
         bm = next(b for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
                   if m_loc % b == 0)
-        strategy = streaming_stream_strategy(L, f)
-        # gather strategy: cap the panel tile like the single-chip path —
-        # its (bm, L, bn) gather intermediate scales with bn, and this
-        # strategy only runs in the memory-exhausted extreme-sparsity regime
-        bn = bm if strategy == "mxu" else min(bm, 128)
+        # cap the panel tile: the (bm, L, bn) gather intermediate scales
+        # with bn, and this strategy only runs in the memory-exhausted
+        # extreme-sparsity regime
+        bn = min(bm, 128)
         contrib = make_streaming_cross_contrib(
             int(kernel), degree, gamma, coef0,
             row_vals=vals, row_cols=cols, row_sq=sq_loc,
             row_trow=trow_l, row_tcol=tcol_l, row_tval=tval_l,
-            f=f, bm=bm, bn=bn, strategy=strategy,
+            f=f, bm=bm, bn=bn, strategy="gather",
         )
         right = [(i, (i + 1) % num) for i in range(num)]
 

@@ -179,7 +179,7 @@ class TestDeviceGram:
 
         csr = sp.random(100, 37, density=0.15, random_state=0, format="csr")
         ell = ELLMatrix.from_csr(csr, dtype=np.float64, pad_rows=128)
-        G_dev = np.asarray(device_gram_from_ell(ell, row_block=32))
+        G_dev = np.asarray(device_gram_from_ell(ell))
         G_host = host_gram_from_csr(csr)
         np.testing.assert_allclose(G_dev[:100, :100], G_host, rtol=1e-12)
         # padding rows/cols are exact zeros
@@ -194,7 +194,7 @@ class TestDeviceGram:
 
         csr = sp.random(10, 5, density=0.5, random_state=1, format="csr")
         ell = ELLMatrix.from_csr(csr, dtype=np.float64)
-        G = np.asarray(device_gram_from_ell(ell, row_block=3))
+        G = np.asarray(device_gram_from_ell(ell))
         np.testing.assert_allclose(G, (csr @ csr.T).toarray(), rtol=1e-12)
 
     @pytest.mark.parametrize("kernel", ["polynomial", "rbf"])
@@ -303,10 +303,10 @@ class TestStreamingImplicit:
         np.testing.assert_allclose(
             svm_s.predict(P), svm_d.predict(P), rtol=1e-5, atol=1e-5)
 
-    @pytest.mark.parametrize("strategy", ["mxu", "gather"])
+    @pytest.mark.parametrize("strategy", ["panel", "gather"])
     def test_streaming_strategies_match_dense(self, strategy, monkeypatch):
-        """Both streaming contractions (dense-block MXU product vs ELL-slot
-        gather) reproduce the dense model."""
+        """Both streaming contractions (scatter-free densified panels on the
+        pair kernel vs ELL-slot gather) reproduce the dense model."""
         monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
         monkeypatch.setenv("PLSSVM_SPARSE_STREAM", strategy)
         csr, y = _random_sparse(200, 30, density=0.12, seed=29)
@@ -344,12 +344,15 @@ class TestStreamingImplicit:
     def test_strategy_chooser(self, monkeypatch):
         from plssvm_sparse_fp22_tpu.ops.sparse import streaming_stream_strategy
 
-        # moderate density -> dense-block MXU product
-        assert streaming_stream_strategy(100, 2048) == "mxu"
+        # moderate density -> densified panels at MXU rate
+        assert streaming_stream_strategy(100, 2048) == "panel"
         # news20-scale extreme sparsity -> nnz-proportional gather
         assert streaming_stream_strategy(30, 1_300_000) == "gather"
         monkeypatch.setenv("PLSSVM_SPARSE_STREAM", "gather")
         assert streaming_stream_strategy(100, 2048) == "gather"
+        # the legacy scatter-densify strategy name maps to its replacement
+        monkeypatch.setenv("PLSSVM_SPARSE_STREAM", "mxu")
+        assert streaming_stream_strategy(30, 1_300_000) == "panel"
 
     def test_memory_guard_picks_streaming(self, monkeypatch):
         """A Gram too big for the K-cache budget falls back to streaming
@@ -400,3 +403,136 @@ class TestStreamingImplicit:
         svm_d.learn()
         np.testing.assert_allclose(svm_s.alphas[:-1], svm_d.alphas[:-1],
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestTiledELL:
+    """Lane-tiled ELL packing + scatter-free compare-densify (round 4: the
+    panel streaming strategy's building blocks)."""
+
+    def test_densify_roundtrip(self):
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL, densify_tiled
+
+        csr, _ = _random_sparse(40, 300, density=0.08, seed=3)
+        tell = TiledELL.from_csr(csr, dtype=np.float64)
+        dense = np.asarray(densify_tiled(tell.vals, tell.lcols,
+                                         tell.ntiles, tell.Lt))
+        fp = tell.padded_features
+        expect = np.zeros((40, fp))
+        expect[:, :300] = csr.toarray()
+        np.testing.assert_allclose(dense, expect, rtol=1e-14)
+
+    def test_densify_pad_rows(self):
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL, densify_tiled
+
+        csr, _ = _random_sparse(10, 50, density=0.2, seed=5)
+        tell = TiledELL.from_csr(csr, dtype=np.float64, pad_rows=16)
+        dense = np.asarray(densify_tiled(tell.vals, tell.lcols,
+                                         tell.ntiles, tell.Lt))
+        np.testing.assert_allclose(dense[:10, :50], csr.toarray(), rtol=1e-14)
+        assert not dense[10:].any() and not dense[:, 50:].any()
+
+    def test_tiled_matvec(self):
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL, tiled_matvec
+
+        csr, _ = _random_sparse(30, 200, density=0.1, seed=7)
+        tell = TiledELL.from_csr(csr, dtype=np.float64)
+        u = np.random.default_rng(1).normal(size=tell.padded_features)
+        got = np.asarray(tiled_matvec(tell.vals, tell.lcols,
+                                      jnp.asarray(u), tell.ntiles, tell.Lt))
+        np.testing.assert_allclose(got, csr @ u[:200], rtol=1e-12)
+
+    def test_storage_never_exceeds_padded_dense(self):
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL
+
+        rng = np.random.default_rng(11)
+        csr = sp.random(20, 140, density=0.9, format="csr", random_state=rng)
+        tell = TiledELL.from_csr(csr, dtype=np.float32)
+        assert tell.Lt <= 128
+        assert tell.vals.shape[1] <= tell.padded_features
+
+    def test_panel_matvec_matches_dense_gram(self):
+        """The multi-panel streaming matvec (XLA pair fallback) equals the
+        dense kernel matvec — including ragged last panels."""
+        from plssvm_sparse_fp22_tpu.ops.kernel_functions import gram_matrix
+        from plssvm_sparse_fp22_tpu.ops.sparse import (TiledELL,
+                                                       make_tiled_panel_matvec)
+
+        csr, _ = _random_sparse(100, 60, density=0.15, seed=13)
+        tell = TiledELL.from_csr(csr, dtype=np.float64)
+        gamma, coef0 = 0.3, 1.0
+        for kernel in (KernelType.polynomial, KernelType.rbf):
+            for panel_rows in (100, 32, 48):
+                mv, sq = make_tiled_panel_matvec(
+                    tell.vals, tell.lcols, int(kernel), 3, gamma, coef0,
+                    ntiles=tell.ntiles, Lt=tell.Lt, panel_rows=panel_rows,
+                    use_pallas=False)
+                v = np.random.default_rng(17).normal(size=100)
+                K = np.asarray(gram_matrix(kernel, jnp.asarray(csr.toarray()),
+                                           degree=3, gamma=gamma, coef0=coef0))
+                np.testing.assert_allclose(np.asarray(mv(jnp.asarray(v))),
+                                           K @ v, rtol=1e-9, atol=1e-10)
+                np.testing.assert_allclose(
+                    np.asarray(sq),
+                    np.asarray(csr.multiply(csr).sum(axis=1)).ravel(),
+                    rtol=1e-12)
+
+
+class TestPairGramContrib:
+    """The Pallas panel-pair kernel vs its XLA twin (interpret mode)."""
+
+    @pytest.mark.parametrize("same", [True, False])
+    @pytest.mark.parametrize("kernel", [KernelType.linear,
+                                        KernelType.polynomial,
+                                        KernelType.rbf])
+    def test_pallas_matches_xla(self, kernel, same):
+        from plssvm_sparse_fp22_tpu.ops.pallas_matvec import (
+            pair_gram_contrib, pair_gram_contrib_xla)
+
+        rng = np.random.default_rng(19)
+        Di, Dj, f = 24, 24 if same else 40, 33
+        Xi = jnp.asarray(rng.normal(size=(Di, f)))
+        Xj = Xi if same else jnp.asarray(rng.normal(size=(Dj, f)))
+        vi = jnp.asarray(rng.normal(size=Di))
+        vj = vi if same else jnp.asarray(rng.normal(size=Dj))
+        kw = dict(same=same, degree=3, gamma=0.2, coef0=1.0)
+        oi_p, oj_p = pair_gram_contrib(kernel, Xi, Xj, vi, vj,
+                                       interpret=True, bm=16, **kw)
+        oi_x, oj_x = pair_gram_contrib_xla(kernel, Xi, Xj, vi, vj, **kw)
+        if same:
+            # split differently (triangular + transpose vs full), but the
+            # sums are the same operator applied to v
+            np.testing.assert_allclose(np.asarray(oi_p + oj_p),
+                                       np.asarray(oi_x + oj_x),
+                                       rtol=1e-10, atol=1e-12)
+        else:
+            np.testing.assert_allclose(np.asarray(oi_p), np.asarray(oi_x),
+                                       rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(oj_p), np.asarray(oj_x),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_panel_learn_pallas_interpret_matches_xla(self):
+        """End-to-end panel learn with the Pallas pair kernel (interpret)
+        equals the XLA-fallback learn."""
+        from plssvm_sparse_fp22_tpu.models.sparse_learn import (
+            learn_sparse_panel_jit)
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL
+
+        csr, y = _random_sparse(80, 40, density=0.15, seed=23)
+        dept = 79
+        D = 80
+        tell = TiledELL.from_csr(csr[:dept], dtype=np.float64, pad_rows=D)
+        x_last = np.asarray(csr[-1].todense()).ravel()
+        b = np.zeros(D)
+        b[:dept] = y[:dept] - y[-1]
+        mask = np.zeros(D)
+        mask[:dept] = 1.0
+        common = dict(kernel=KernelType.rbf, degree=3, ntiles=tell.ntiles,
+                      Lt=tell.Lt, panel_rows=32)
+        args = (tell.vals, tell.lcols, jnp.asarray(x_last), jnp.asarray(b),
+                jnp.asarray(mask), jnp.asarray(0.25), jnp.asarray(0.0),
+                jnp.asarray(1.0), jnp.asarray(1e-8), jnp.asarray(200))
+        out_x = learn_sparse_panel_jit(*args, use_pallas=False, **common)
+        out_p = learn_sparse_panel_jit(*args, use_pallas=True,
+                                       interpret=True, **common)
+        np.testing.assert_allclose(np.asarray(out_p[0]), np.asarray(out_x[0]),
+                                   rtol=1e-6, atol=1e-8)
