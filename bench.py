@@ -114,13 +114,14 @@ def _make_dense_runner(X, gamma, kernel_name, mode, backend_name):
 
 def _make_sparse_runner(n, f, density, gamma):
     """Streaming sparse implicit rbf (the fork's north star, BASELINE.json
-    config 3): CG over ELL+COO-packed CSR, kernel blocks recomputed on the
-    fly — no (n, n) Gram, no densified X."""
+    config 3): CG over the tiled-ELL packing with the scatter-free panel
+    strategy — no (n, n) Gram, no resident densified X (kernel blocks
+    recomputed per iteration from transient panels)."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
-    from plssvm_sparse_fp22_tpu.models.sparse_learn import learn_sparse_implicit_jit
-    from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
+    from plssvm_sparse_fp22_tpu.models.sparse_learn import learn_sparse_panel_jit
+    from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL, stream_panel_rows
     from plssvm_sparse_fp22_tpu.types import KernelType
 
     rng = np.random.default_rng(7)
@@ -129,31 +130,86 @@ def _make_sparse_runner(n, f, density, gamma):
     dept = n - 1
     D = _round_up(dept, 256)
     dtype = np.float32
-    h = HybridSparse.from_csr(csr[:dept], dtype=dtype, pad_rows=D)
+    tell = TiledELL.from_csr(csr[:dept], dtype=dtype, pad_rows=D)
+    # a deliberately sub-dense budget keeps the panel decomposition honest
+    # (several panels even when dense X would fit HBM)
+    budget = int(os.environ.get("PLSSVM_K_CACHE_BYTES",
+                                D * tell.padded_features))
+    panel_rows = stream_panel_rows(D, tell.padded_features, 4, budget)
     x_last = np.asarray(csr[-1].todense()).ravel().astype(dtype)
     mask = np.zeros(D, dtype=dtype)
     mask[:dept] = 1.0
     mask_dev = jnp.asarray(mask)
     xl_dev = jnp.asarray(x_last)
+    use_pallas = jax.default_backend() == "tpu"
 
     def run(seed, n_iters):
         r = np.random.default_rng(seed)
         b_pad = np.zeros(D, dtype=dtype)
         b_pad[:dept] = np.where(r.normal(size=dept) > 0, 2.0, -2.0)
         t0 = time.perf_counter()
-        out = learn_sparse_implicit_jit(
-            h.ell.values, h.ell.cols, h.coo_rows, h.coo_cols, h.coo_vals,
-            xl_dev, jnp.asarray(b_pad), mask_dev,
+        out = learn_sparse_panel_jit(
+            tell.vals, tell.lcols, xl_dev, jnp.asarray(b_pad), mask_dev,
             jnp.asarray(gamma, dtype), jnp.asarray(0.0, dtype),
             jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
             jnp.asarray(n_iters, jnp.int32),
-            kernel=KernelType.rbf, degree=3, f=f,
+            kernel=KernelType.rbf, degree=3, ntiles=tell.ntiles, Lt=tell.Lt,
+            panel_rows=panel_rows, use_pallas=use_pallas,
         )
         jax.block_until_ready(out)
         elapsed = time.perf_counter() - t0
         return elapsed, int(out[4])
 
     return run
+
+
+def _sparse_tier_bench(n, f, density):
+    """The big-sparse regression block (VERDICT r3 #6): warm per-8-iteration
+    learn() time of each sparse poly/rbf tier at the configured size,
+    through the product surface (the PERF.md three-tier table, reproduced
+    every round).  Enabled by PLSSVM_BENCH_SPARSE=1 (size knobs:
+    PLSSVM_BENCH_SPARSE_N/F/DENSITY, default 16384x4096 @ 1%)."""
+    import scipy.sparse as sp
+    from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+    from plssvm_sparse_fp22_tpu.models import make_csvm
+    from plssvm_sparse_fp22_tpu.params import Parameter
+    from plssvm_sparse_fp22_tpu.types import KernelType
+
+    rng = np.random.default_rng(3)
+    csr = sp.random(n, f, density=density, format="csr", dtype=np.float32,
+                    random_state=rng)
+    y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+    iters = 8
+
+    def learn_once():
+        params = Parameter(kernel=KernelType.rbf, gamma=1.0 / f, cost=1.0,
+                           epsilon=0.0, max_iter=iters, print_info=False,
+                           dtype=np.float32, sparse_threshold=1.0, devices=1)
+        params.data = ParsedData(csr=csr, values=y)
+        params.values = y
+        svm = make_csvm(params)
+        svm.learn()
+        return svm
+
+    tiers = {}
+    for tier in ("gram", "dense", "implicit"):
+        os.environ["PLSSVM_SPARSE_MODE"] = tier
+        try:
+            learn_once()  # compile warmup
+            t0 = time.perf_counter()
+            svm = learn_once()
+            seconds = time.perf_counter() - t0
+            executed = max(1, int(svm.last_cg_info["iterations"]))
+            tiers[f"sparse_{tier}"] = {
+                "learn_s": round(seconds, 4),
+                "s_per_iter": round(seconds / executed, 5),
+                "mode": svm.last_cg_info["mode"],
+            }
+        except Exception as exc:
+            tiers[f"sparse_{tier}"] = f"error: {type(exc).__name__}"
+        finally:
+            os.environ.pop("PLSSVM_SPARSE_MODE", None)
+    return tiers
 
 
 def _time_to_tolerance(n, f, backend_name):
@@ -338,6 +394,12 @@ def main():
                 n, f, backend_name)
         except Exception as exc:
             result["time_to_tolerance_1e6"] = f"error: {type(exc).__name__}"
+
+        if os.environ.get("PLSSVM_BENCH_SPARSE", "0") not in ("0", "off"):
+            result["sparse_tiers"] = _sparse_tier_bench(
+                int(os.environ.get("PLSSVM_BENCH_SPARSE_N", 16384)),
+                int(os.environ.get("PLSSVM_BENCH_SPARSE_F", 4096)),
+                float(os.environ.get("PLSSVM_BENCH_SPARSE_DENSITY", 0.01)))
 
         roofline = {}
         if on_tpu and mode == "implicit":
