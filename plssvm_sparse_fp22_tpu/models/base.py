@@ -913,6 +913,12 @@ class CSVM:
                 correct = int(np.sum(predictions * np.asarray(self.values) > 0.0))
                 return correct / self.num_data_points
             points, labels = self.data.dense, self.values
+        if labels is None:
+            # loud PLSSVMError instead of numpy's raw TypeError
+            # (error-contract parity, csvm.cpp:270-318)
+            raise PLSSVMError(
+                "No labels given! Maybe the data is only usable for prediction?"
+            )
         points = np.asarray(points, np.float64)
         labels = np.atleast_1d(np.asarray(labels, np.float64))
         if points.ndim == 1:
