@@ -259,13 +259,15 @@ def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops):
     tier the headline runs) vs the chip's dense bf16 peak, plus the useful
     (algorithmic f32) FLOP fraction 2*dept^2*f."""
     from jax import lax
+    from plssvm_sparse_fp22_tpu.constants import FEATURE_BLOCK_SIZE
     from plssvm_sparse_fp22_tpu.ops.pallas_matvec import (
-        PALLAS_PRECISION, _choose_sym_bm, symmetric_enabled)
+        PALLAS_PRECISION, _effective_sym_blocks, symmetric_enabled)
 
     if not symmetric_enabled() or PALLAS_PRECISION != lax.Precision.HIGH:
         return None
-    bm = _choose_sym_bm(D)
-    bk = 256 if bm >= 1024 else 512
+    # the kernel's own block policy (incl. the VMEM guard) — duplicating
+    # the choice here misstated hw FLOPs for wide features (advisor r3)
+    bm, bk = _effective_sym_blocks(D, f, None, FEATURE_BLOCK_SIZE)
     Dp = _round_up(D, bm)
     fp = _round_up(_round_up(f, 128), min(bk, _round_up(f, 128)))
     nI = Dp // bm

@@ -5,8 +5,11 @@ iterations/s on a 2-host v5p slice.  The implicit kernel matvec is an
 O(D^2 f) operator, so "weak scaling" needs care:
 
 - ``--scaling work`` (default): total rows grow with sqrt(devices), keeping
-  the per-device per-iteration FLOPs constant.  Perfect scaling = constant
-  iters/s; ``weak_efficiency`` = rate_p / rate_1.  This is the standard
+  the per-device per-iteration FLOPs approximately constant.  Because
+  rows_local rounds to the block size, D_p^2/p is not exactly constant, so
+  ``weak_efficiency`` is the work-normalized ratio
+  ``(rate_p * D_p^2 / p) / (rate_1 * D_1^2 / p_1)`` — equal to
+  rate_p / rate_1 whenever the rounding is exact.  This is the standard
   weak-scaling experiment for a quadratic operator.
 - ``--scaling rows``: each device keeps a constant row block (the dataset
   grows linearly, the classic "bigger machine, bigger data" story), so the

@@ -5,6 +5,8 @@ The reference covers its assert macro with a death test
 checks the exception, the message format, and the enable switch.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -41,10 +43,26 @@ class TestPlssvmAssert:
         plssvm_assert(True, "{0} {1}")  # would raise IndexError if formatted
 
     def test_env_switch_read_at_import(self, monkeypatch):
-        # documented contract: the env var acts like the reference's
-        # compile-time macro — changing it post-import has no effect
+        """Documented contract: the env var acts like the reference's
+        compile-time macro — setting it post-import has no effect on the
+        already-imported module, and a fresh interpreter honors it."""
+        import subprocess
+        import sys
+
+        before = assertions.ASSERTS_ENABLED
         monkeypatch.setenv("PLSSVM_ENABLE_ASSERTS", "1")
-        assert assertions.ASSERTS_ENABLED in (True, False)
+        assert assertions.ASSERTS_ENABLED == before  # unchanged post-import
+        for env_val, expect in (("1", "True"), ("0", "False")):
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "from plssvm_sparse_fp22_tpu.utils import assertions; "
+                 "print(assertions.ASSERTS_ENABLED)"],
+                env={**os.environ, "PLSSVM_ENABLE_ASSERTS": env_val,
+                     "JAX_PLATFORMS": "cpu"},
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            assert out.stdout.strip() == expect, out.stderr
 
 
 class TestWiredInvariants:
