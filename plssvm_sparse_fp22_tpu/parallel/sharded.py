@@ -175,7 +175,9 @@ def _prepare_local(kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
     return q_loc, QA_cost, cost_inv, matvec, minv
 
 
-def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int):
+@lru_cache(maxsize=None)
+def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int,
+                               precond: str = "none"):
     """Multi-chip learn with the **feature axis** sharded — the reference's
     own multi-GPU decomposition (``feature_ranges_``, ``gpu_csvm.cpp:130-157``)
     kept as an option for very wide data (SURVEY.md §2.4 item 3).
@@ -281,7 +283,19 @@ def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int):
 
         from ..solver.cg import cg_solve
 
-        res = cg_solve(matvec, b, mask, eps, imax)
+        minv = None
+        if precond == "jacobi":
+            from ..ops.matvec import jacobi_minv_from_kii
+
+            if kernel == KernelType.linear:
+                kii = sq_loc
+            elif kernel == KernelType.polynomial:
+                kii = (gamma * sq_loc + coef0) ** degree
+            else:  # rbf: k(x, x) = 1
+                kii = jnp.ones_like(sq_loc)
+            minv = jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
+
+        res = cg_solve(matvec, b, mask, eps, imax, minv=minv)
         s = jnp.sum(res.x)
         t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
         return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0

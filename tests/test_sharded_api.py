@@ -353,3 +353,60 @@ def test_wide_sparse_on_mesh_picks_gram_tier(monkeypatch):
     csr, y = _random_sparse(520, 8192, density=0.005, seed=47)
     svm = _train_sparse(csr, y, KernelType.rbf, max_iter=40)
     assert svm.last_cg_info["mode"] == "sparse_gram", svm.last_cg_info
+
+
+class TestFeatureShardedProduct:
+    """Wide-dense data (f/p > D) feature-shards through the product surface
+    with zero new flags (VERDICT r3 #3; the reference's own multi-GPU
+    decomposition, gpu_csvm.cpp:130-157)."""
+
+    @pytest.fixture(scope="class")
+    def wide_blobs(self):
+        return make_blobs(96, 2048, seed=31)
+
+    @pytest.mark.parametrize("kernel", KERNELS)
+    def test_wide_dense_feature_shards(self, wide_blobs, kernel):
+        X, y = wide_blobs
+        # gamma = 1/f: at f=2048 the fixture's 0.1 would cube dot products
+        # of ~200 (poly QA ~ 1e7), amplifying benign reduction noise in
+        # sum(x) into the bias; 1/f is also the parser's auto default
+        svm = _train(X, y, kernel, gamma=1.0 / 2048)
+        assert svm.last_cg_info["mode"] == "sharded_feature[8]", \
+            svm.last_cg_info
+        svm_1 = _train(X, y, kernel, devices=1, gamma=1.0 / 2048)
+        _assert_matches(svm.alphas, svm.bias_, svm_1.alphas, svm_1.bias_)
+
+    def test_feature_sharded_jacobi(self, wide_blobs):
+        X, y = wide_blobs
+        svm = _train(X, y, KernelType.rbf, precond="jacobi")
+        assert svm.last_cg_info["mode"] == "sharded_feature[8]"
+        svm_1 = _train(X, y, KernelType.rbf, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_1.alphas, svm_1.bias_)
+
+    def test_axis_override_rows(self, wide_blobs, monkeypatch):
+        monkeypatch.setenv("PLSSVM_SHARD_AXIS", "rows")
+        X, y = wide_blobs
+        svm = _train(X, y, KernelType.linear)
+        assert not svm.last_cg_info["mode"].startswith("sharded_feature")
+
+    def test_axis_override_features_on_tall(self, blobs, monkeypatch):
+        monkeypatch.setenv("PLSSVM_SHARD_AXIS", "features")
+        X, y = blobs  # tall data would normally row-shard
+        svm = _train(X, y, KernelType.rbf)
+        assert svm.last_cg_info["mode"] == "sharded_feature[8]"
+        svm_1 = _train(X, y, KernelType.rbf, devices=1)
+        _assert_matches(svm.alphas, svm.bias_, svm_1.alphas, svm_1.bias_)
+
+    def test_invalid_axis_is_loud(self, wide_blobs, monkeypatch):
+        from plssvm_sparse_fp22_tpu.exceptions import PLSSVMError
+
+        monkeypatch.setenv("PLSSVM_SHARD_AXIS", "bogus")
+        X, y = wide_blobs
+        with pytest.raises(PLSSVMError, match="PLSSVM_SHARD_AXIS"):
+            _train(X, y, KernelType.linear)
+
+    def test_tall_data_stays_on_rows(self, blobs):
+        X, y = blobs
+        svm = _train(X, y, KernelType.rbf)
+        assert svm.last_cg_info["mode"].startswith("sharded_")
+        assert not svm.last_cg_info["mode"].startswith("sharded_feature")
