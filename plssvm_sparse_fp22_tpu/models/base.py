@@ -617,7 +617,8 @@ class CSVM:
                 D // ndev, tell.padded_features, itemsize,
                 _k_cache_budget_bytes())
             use_pallas = (self.backend == BackendType.pallas
-                          and jax.default_backend() == "tpu")
+                          and jax.default_backend() == "tpu"
+                          and self.dtype != jnp.float64)
             learn = make_sharded_sparse_panel_learn(
                 mesh, self.kernel, self.degree, ntiles=tell.ntiles,
                 Lt=tell.Lt, panel_rows=panel_rows,
@@ -706,10 +707,9 @@ class CSVM:
             sparse_mode == "auto" and not gram_fits and dense_x_fits
         ):
             # f64 note: cached (the exact-f64 preference of choose_mode) is
-            # unaffordable here by construction; the Pallas implicit kernel
-            # handles f64 inputs by computing in f32 and casting back
-            # (documented 1e-4 budget, ops/pallas_matvec.py) — the same
-            # contract as every dense f64-on-TPU run
+            # unaffordable here by construction; build_operator routes f64
+            # implicit to the blocked XLA path (exact f64 via TPU XLA
+            # emulation) instead of the Pallas kernel, which rejects f64
             X_pad = np.zeros((D, f), dtype=self.dtype)
             X_pad[:dept] = csr[:dept].toarray()
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
@@ -739,7 +739,8 @@ class CSVM:
                 panel_rows = stream_panel_rows(
                     D, tell.padded_features, itemsize, _k_cache_budget_bytes())
                 use_pallas = (self.backend == BackendType.pallas
-                              and jax.default_backend() == "tpu")
+                              and jax.default_backend() == "tpu"
+                              and self.dtype != jnp.float64)
                 out = learn_sparse_panel_jit(
                     tell.vals, tell.lcols, jnp.asarray(x_last),
                     jnp.asarray(b_pad), jnp.asarray(mask),
@@ -899,7 +900,9 @@ class CSVM:
             )
         else:
             use_pallas = (
-                self.backend == BackendType.pallas and jax.default_backend() == "tpu"
+                self.backend == BackendType.pallas
+                and jax.default_backend() == "tpu"
+                and self.dtype != jnp.float64  # no Mosaic f64 path
             )
             out = np.asarray(
                 _predict_jit(

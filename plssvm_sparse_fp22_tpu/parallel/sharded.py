@@ -98,6 +98,9 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
         sq_loc = jnp.sum(X_loc * X_loc, axis=1)
         right = [(i, (i + 1) % num) for i in range(num)]
 
+        # f64 rides the exact-f64 XLA hop product (no Mosaic f64 path)
+        if use_pallas and dtype == jnp.float64:
+            use_pallas = False
         if use_pallas:
             from ..ops.pallas_matvec import gram_matvec_pallas
 
@@ -613,7 +616,12 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
         def densify(v, c, lo, hi):
             return densify_tiled(v[lo:hi], c[lo:hi], ntiles, Lt)
 
-        if use_pallas:
+        # f64 rides the exact-f64 XLA panel product (no Mosaic f64 path)
+        if use_pallas and dtype == jnp.float64:
+            hop_use_pallas = False
+        else:
+            hop_use_pallas = use_pallas
+        if hop_use_pallas:
             from ..ops.pallas_matvec import gram_matvec_pallas
 
             interpret = jax.default_backend() != "tpu"
