@@ -62,25 +62,48 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16,
     if data == "sparse":
         import scipy.sparse as sp
 
-        from plssvm_sparse_fp22_tpu.ops.sparse import HybridSparse
+        from plssvm_sparse_fp22_tpu.ops.sparse import (
+            HybridSparse, TiledELL, stream_panel_rows,
+            streaming_stream_strategy)
         from plssvm_sparse_fp22_tpu.parallel.sharded import (
             make_sharded_sparse_linear_learn,
-            make_sharded_sparse_streaming_learn, shard_sparse_system)
+            make_sharded_sparse_panel_learn,
+            make_sharded_sparse_streaming_learn, shard_sparse_system,
+            shard_sparse_tiled_system)
 
         csr = sp.random(dept, f, density=density, format="csr", dtype=dtype,
                         random_state=rng)
-        h = HybridSparse.from_csr(csr, dtype=dtype, pad_rows=D)
         x_last = rng.normal(size=f).astype(dtype)
         mask = np.zeros(D, dtype=dtype)
         mask[:dept] = 1.0
-        sys_args = shard_sparse_system(mesh, h, np.zeros(D, dtype), mask)
+        kernel_scalars = (jnp.asarray(1.0 / f, dtype),
+                          jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
+        L_est = max(1, -(-csr.nnz // max(1, dept)))
         if kernel == KernelType.linear:
+            h = HybridSparse.from_csr(csr, dtype=dtype, pad_rows=D)
+            sys_args = shard_sparse_system(mesh, h, np.zeros(D, dtype), mask)
             learn = make_sharded_sparse_linear_learn(mesh)
+            head, mask_dev = sys_args[:5], sys_args[6]
             tail_scalars = (jnp.asarray(1.0, dtype),)
+        elif streaming_stream_strategy(L_est, f) == "panel":
+            # what the product surface runs at this density: tiled slabs
+            # ring the mesh, panels densify scatter-free per hop
+            tell = TiledELL.from_csr(csr, dtype=dtype, pad_rows=D)
+            panel_rows = stream_panel_rows(
+                D // p, tell.padded_features, 4, 8 * 1024**3)
+            learn = make_sharded_sparse_panel_learn(
+                mesh, kernel, 3, ntiles=tell.ntiles, Lt=tell.Lt,
+                panel_rows=panel_rows)
+            tv, tc, _b, mask_dev = shard_sparse_tiled_system(
+                mesh, tell, np.zeros(D, dtype), mask)
+            head = (tv, tc)
+            tail_scalars = kernel_scalars
         else:
+            h = HybridSparse.from_csr(csr, dtype=dtype, pad_rows=D)
+            sys_args = shard_sparse_system(mesh, h, np.zeros(D, dtype), mask)
             learn = make_sharded_sparse_streaming_learn(mesh, kernel, 3)
-            tail_scalars = (jnp.asarray(1.0 / f, dtype),
-                            jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
+            head, mask_dev = sys_args[:5], sys_args[6]
+            tail_scalars = kernel_scalars
 
         def run(seed, iters):
             r = np.random.default_rng(seed)
@@ -88,7 +111,7 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16,
             b[:dept] = r.normal(size=dept)
             bs = jax.device_put(b, row_sharding)
             t0 = time.perf_counter()
-            out = learn(*sys_args[:5], jnp.asarray(x_last), bs, sys_args[6],
+            out = learn(*head, jnp.asarray(x_last), bs, mask_dev,
                         *tail_scalars, jnp.asarray(0.0, dtype),
                         jnp.asarray(iters, jnp.int32))
             jax.block_until_ready(out)
