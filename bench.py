@@ -364,6 +364,16 @@ def main():
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / baseline, 3),
+        "baseline": {
+            "iters_per_s": round(baseline, 3),
+            "what": (
+                "the reference's per-iteration algorithm (full implicit "
+                f"kernel-matrix product, f64) in numpy/BLAS on this host's "
+                f"{os.cpu_count()} CPU cores — NOT a measured GPU run; the "
+                "reference publishes no numbers (BASELINE.md), so the "
+                "self-relative trajectory in docs/PERF.md is the primary "
+                "perf signal"),
+        },
         "device_kind": kind,
     }
 
