@@ -179,30 +179,32 @@ def _sparse_tier_bench(n, f, density):
     csr = sp.random(n, f, density=density, format="csr", dtype=np.float32,
                     random_state=rng)
     y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
-    iters = 8
 
-    def learn_once():
+    def learn_once(iters):
         params = Parameter(kernel=KernelType.rbf, gamma=1.0 / f, cost=1.0,
                            epsilon=0.0, max_iter=iters, print_info=False,
                            dtype=np.float32, sparse_threshold=1.0, devices=1)
         params.data = ParsedData(csr=csr, values=y)
         params.values = y
         svm = make_csvm(params)
+        t0 = time.perf_counter()
         svm.learn()
-        return svm
+        return time.perf_counter() - t0, svm
 
+    lo, hi = 8, 24
     tiers = {}
     for tier in ("gram", "dense", "implicit"):
         os.environ["PLSSVM_SPARSE_MODE"] = tier
         try:
-            learn_once()  # compile warmup
-            t0 = time.perf_counter()
-            svm = learn_once()
-            seconds = time.perf_counter() - t0
-            executed = max(1, int(svm.last_cg_info["iterations"]))
+            learn_once(lo)  # compile warmup (both iteration counts)
+            learn_once(hi)
+            t_lo, _ = learn_once(lo)
+            t_hi, svm = learn_once(hi)
+            # marginal per-iteration cost (slope cancels the one-time host
+            # pack / transfer / setup that dominates learn_s at this scale)
             tiers[f"sparse_{tier}"] = {
-                "learn_s": round(seconds, 4),
-                "s_per_iter": round(seconds / executed, 5),
+                "learn8_s": round(t_lo, 4),
+                "s_per_iter": round(max(0.0, t_hi - t_lo) / (hi - lo), 5),
                 "mode": svm.last_cg_info["mode"],
             }
         except Exception as exc:
@@ -407,7 +409,9 @@ def main():
         except Exception as exc:
             result["time_to_tolerance_1e6"] = f"error: {type(exc).__name__}"
 
-        if os.environ.get("PLSSVM_BENCH_SPARSE", "0") not in ("0", "off"):
+        # on by default so every round's BENCH records the big-sparse tier
+        # table (VERDICT r3 #6); PLSSVM_BENCH_SPARSE=0 skips it
+        if os.environ.get("PLSSVM_BENCH_SPARSE", "1") not in ("0", "off"):
             result["sparse_tiers"] = _sparse_tier_bench(
                 int(os.environ.get("PLSSVM_BENCH_SPARSE_N", 16384)),
                 int(os.environ.get("PLSSVM_BENCH_SPARSE_F", 4096)),
