@@ -410,3 +410,17 @@ class TestFeatureShardedProduct:
         svm = _train(X, y, KernelType.rbf)
         assert svm.last_cg_info["mode"].startswith("sharded_")
         assert not svm.last_cg_info["mode"].startswith("sharded_feature")
+
+
+def test_sparse_ring_multi_panel_in_shard(monkeypatch):
+    """A budget smaller than a shard's dense block forces the panel ring to
+    decompose each hop into multiple in-shard panels (2 panels of 256 rows
+    here) — result still matches the dense single-chip model."""
+    monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "120000")
+    csr, y = _random_sparse(1100, 40, density=0.15, seed=53)
+    svm = _train_sparse(csr, y, KernelType.rbf, devices=4, max_iter=300)
+    assert svm.last_cg_info["mode"] == "sharded_sparse_implicit[4]", \
+        svm.last_cg_info
+    monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
+    svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
+    _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
