@@ -193,6 +193,7 @@ def _sparse_tier_bench(n, f, density):
 
     lo, hi = 8, 24
     tiers = {}
+    prior_mode = os.environ.get("PLSSVM_SPARSE_MODE")
     for tier in ("gram", "dense", "implicit"):
         os.environ["PLSSVM_SPARSE_MODE"] = tier
         try:
@@ -210,7 +211,10 @@ def _sparse_tier_bench(n, f, density):
         except Exception as exc:
             tiers[f"sparse_{tier}"] = f"error: {type(exc).__name__}"
         finally:
-            os.environ.pop("PLSSVM_SPARSE_MODE", None)
+            if prior_mode is None:
+                os.environ.pop("PLSSVM_SPARSE_MODE", None)
+            else:
+                os.environ["PLSSVM_SPARSE_MODE"] = prior_mode
     return tiers
 
 

@@ -125,7 +125,12 @@ def main(argv=None) -> int:
     test_path = f"{base}_test.{fmt}"
 
     total = args.samples + args.test_samples
-    X, labels = generate(args.problem, total, args.features, args.seed)
+    try:
+        X, labels = generate(args.problem, total, args.features, args.seed)
+    except ValueError as exc:
+        # e.g. planes/planes_merged need enough features for sklearn's
+        # informative-feature constraints — a CLI error, not a traceback
+        parser.error(str(exc))
     if args.minmax_scale:
         # scaled over train+test together, like the reference
         X = minmax_scale(X)

@@ -592,7 +592,7 @@ class CSVM:
         from ..ops.sparse import streaming_stream_strategy
 
         csr = self.data.csr
-        L_est = max(1, -(-csr[:dept].nnz // max(1, dept)))
+        L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
         scalars = (
             jnp.asarray(self.gamma, self.dtype),
             jnp.asarray(self.coef0, self.dtype),
@@ -600,31 +600,39 @@ class CSVM:
             jnp.asarray(self.epsilon, self.dtype),
             jnp.asarray(imax, jnp.int32),
         )
+        th = None
         if streaming_stream_strategy(L_est, f) == "panel":
+            from ..ops.sparse import TiledHybrid
+
+            D = _round_up(dept, PAD_SIZE * ndev)
+            th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+            # memory guard: see the single-chip twin in _learn_sparse
+            if th.cells > (D * th.tell.padded_features) // 2:
+                th = None
+        if th is not None:
             # moderate density: tiled slabs ring the mesh; per hop both
             # sides densify scatter-free into budget-sized panels and run
             # the fused Pallas Gram-matvec — the dense-ring hop at MXU rate
-            from ..ops.sparse import TiledELL, stream_panel_rows
+            from ..ops.sparse import stream_panel_rows
             from ..parallel.sharded import (make_sharded_sparse_panel_learn,
                                             shard_sparse_tiled_system)
 
-            D = _round_up(dept, PAD_SIZE * ndev)
             b_pad, mask = self._padded_vectors(D, dept, y)
-            tell = TiledELL.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
             mesh = self._mesh(ndev)
             panel_rows = stream_panel_rows(
-                D // ndev, tell.padded_features, itemsize,
+                D // ndev, th.tell.padded_features, itemsize,
                 _k_cache_budget_bytes())
             use_pallas = (self.backend == BackendType.pallas
                           and jax.default_backend() == "tpu"
                           and self.dtype != jnp.float64)
             learn = make_sharded_sparse_panel_learn(
-                mesh, self.kernel, self.degree, ntiles=tell.ntiles,
-                Lt=tell.Lt, panel_rows=panel_rows,
+                mesh, self.kernel, self.degree, ntiles=th.tell.ntiles,
+                Lt=th.tell.Lt, panel_rows=panel_rows,
                 precond=str(self.params.precond), use_pallas=use_pallas)
-            tv, tc, bs, ms = shard_sparse_tiled_system(mesh, tell, b_pad, mask)
-            out = learn(tv, tc, jnp.asarray(x_last), bs, ms, *scalars)
+            tv, tc, hv, hr, bs, ms = shard_sparse_tiled_system(
+                mesh, th, b_pad, mask)
+            out = learn(tv, tc, hv, hr, jnp.asarray(x_last), bs, ms, *scalars)
             return f"sharded_sparse_implicit[{ndev}]", out
 
         from ..parallel.sharded import make_sharded_sparse_streaming_learn
@@ -722,33 +730,55 @@ class CSVM:
             )
             return "sparse_dense_implicit", out
         if sparse_mode == "implicit" or (sparse_mode != "gram" and not gram_fits):
-            from ..ops.sparse import (HybridSparse, TiledELL,
-                                      stream_panel_rows,
+            from ..ops.sparse import (HybridSparse, stream_panel_rows,
                                       streaming_stream_strategy)
             from .sparse_learn import (learn_sparse_implicit_jit,
                                        learn_sparse_panel_jit)
 
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
-            L_est = max(1, -(-csr[:dept].nnz // max(1, dept)))
+            L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
+            th = None
             if streaming_stream_strategy(L_est, f) == "panel":
+                from ..ops.sparse import TiledHybrid
+
+                th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype,
+                                          pad_rows=D)
+                fp = th.tell.padded_features
+                # memory guard: a packing at >= half the padded-dense size
+                # means the data is not actually sparse enough (or is
+                # pathologically skewed beyond the heavy-row spill) —
+                # the nnz-proportional gather arm is the memory-safe choice
+                if th.cells > (D * fp) // 2:
+                    th = None
+            if th is not None:
                 # moderate density: transient scatter-free densified panels
-                # on the fused Pallas pair kernel (MXU rate, O(n·tiles·Lt)
-                # resident memory) — VERDICT r3 #1
-                tell = TiledELL.from_csr(csr[:dept], dtype=self.dtype,
-                                         pad_rows=D)
+                # on the fused Pallas pair kernel (MXU rate,
+                # O(n·tiles·Lt + h·f) resident memory) — VERDICT r3 #1
                 panel_rows = stream_panel_rows(
-                    D, tell.padded_features, itemsize, _k_cache_budget_bytes())
+                    D, fp, itemsize, _k_cache_budget_bytes())
                 use_pallas = (self.backend == BackendType.pallas
                               and jax.default_backend() == "tpu"
                               and self.dtype != jnp.float64)
+                # heavy-row O(n)-vector contributions, host-precomputed
+                hs = np.zeros(D, dtype=self.dtype)
+                hg = np.zeros(D, dtype=self.dtype)
+                if len(th.heavy_idx):
+                    hrows = csr[th.heavy_idx]
+                    hs[th.heavy_idx] = np.asarray(
+                        hrows.multiply(hrows).sum(axis=1)).ravel()
+                    hg[th.heavy_idx] = np.asarray(
+                        (hrows @ csr[-1].T).todense()).ravel()
                 out = learn_sparse_panel_jit(
-                    tell.vals, tell.lcols, jnp.asarray(x_last),
+                    th.tell.vals, th.tell.lcols, jnp.asarray(x_last),
                     jnp.asarray(b_pad), jnp.asarray(mask),
                     jnp.asarray(self.gamma, self.dtype),
                     jnp.asarray(self.coef0, self.dtype), *common,
                     kernel=self.kernel, degree=self.degree,
-                    ntiles=tell.ntiles, Lt=tell.Lt, panel_rows=panel_rows,
-                    precond=precond, use_pallas=use_pallas,
+                    ntiles=th.tell.ntiles, Lt=th.tell.Lt,
+                    panel_rows=panel_rows, precond=precond,
+                    use_pallas=use_pallas, heavy=th.heavy,
+                    heavy_rows=tuple(int(r) for r in th.heavy_idx),
+                    heavy_sq_vec=jnp.asarray(hs), heavy_g_vec=jnp.asarray(hg),
                 )
                 return "sparse_implicit", out
 

@@ -71,11 +71,13 @@ def learn_sparse_linear_jit(vals, cols, coo_rows, coo_cols, coo_vals,
 
 @partial(jax.jit, static_argnames=(
     "kernel", "degree", "ntiles", "Lt", "panel_rows", "precond",
-    "use_pallas", "interpret"))
+    "use_pallas", "interpret", "heavy_rows"))
 def learn_sparse_panel_jit(tvals, tlcols, x_last_dense, b_pad, mask,
                            gamma, coef0, cost, eps, imax, *, kernel, degree,
                            ntiles, Lt, panel_rows, precond: str = "none",
-                           use_pallas: bool = False, interpret: bool = False):
+                           use_pallas: bool = False, interpret: bool = False,
+                           heavy=None, heavy_rows: tuple = (),
+                           heavy_sq_vec=None, heavy_g_vec=None):
     """Streaming sparse poly/rbf learn, ``panel`` strategy — CG over the
     implicit kernel matrix recomputed per iteration from the tiled-ELL
     packing via transient scatter-free densified panels on the fused Pallas
@@ -91,13 +93,16 @@ def learn_sparse_panel_jit(tvals, tlcols, x_last_dense, b_pad, mask,
     kv_fn, sq = make_tiled_panel_matvec(
         tvals, tlcols, int(kernel), degree, gamma, coef0,
         ntiles=ntiles, Lt=Lt, panel_rows=panel_rows,
-        use_pallas=use_pallas, interpret=interpret)
+        use_pallas=use_pallas, interpret=interpret,
+        heavy=heavy, heavy_rows=heavy_rows, heavy_sq_vec=heavy_sq_vec)
 
     f = x_last_dense.shape[0]
     fp = ntiles * 128
     x_last_p = (x_last_dense if f == fp
                 else jnp.zeros((fp,), dtype).at[:f].set(x_last_dense))
     g_last = tiled_matvec(tvals, tlcols, x_last_p, ntiles, Lt)
+    if heavy_g_vec is not None:
+        g_last = g_last + heavy_g_vec  # heavy rows' <x_i, x_last>, host-built
     sq_last = jnp.dot(x_last_dense, x_last_dense,
                       preferred_element_type=dtype, precision=PRECISION)
     q, QA_cost, kii = sparse_q_qa_kii(

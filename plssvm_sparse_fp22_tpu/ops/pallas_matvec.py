@@ -303,6 +303,86 @@ def symmetric_enabled() -> bool:
     return os.environ.get("PLSSVM_PALLAS_SYMMETRIC", "1") not in ("0", "off", "false")
 
 
+def _resolve_decomp(precision, dtype):
+    """MXU strategy for a precision tier: ``bf16x3`` = manual 3-pass
+    split-bf16 (f32-grade accuracy at ~3x the single-pass rate instead of
+    the ~11x-slower exact-f32 emulation); otherwise exact dots (HIGH has no
+    Mosaic lowering and promotes to HIGHEST)."""
+    if precision == lax.Precision.HIGH and dtype == jnp.float32:
+        return "bf16x3", precision
+    if precision == lax.Precision.HIGH:
+        return "exact", lax.Precision.HIGHEST
+    return "exact", precision
+
+
+def _pair_operands(decomp, Xip, Xjp):
+    """Operand tuple for the pair grid (hi/lo splits under bf16x3; the
+    j-side split is reused when both sides are the same array)."""
+    if decomp == "bf16x3":
+        Xi_hi, Xi_lo = _split_bf16(Xip)
+        Xj_hi, Xj_lo = (Xi_hi, Xi_lo) if Xjp is Xip else _split_bf16(Xjp)
+        return (Xi_hi, Xj_hi, Xi_lo, Xj_lo)
+    return (Xip, Xjp)
+
+
+def _pair_call_builder(kernel: KernelType, degree: int, *, bm, bk, nK, T,
+                       n_out2, Dip, fp, decomp, precision, acc_dtype, dtype,
+                       interpret):
+    """The ONE place the (pair, k) launch scaffolding lives — grid/spec
+    construction, kernel binding, cost estimate — shared by
+    :func:`make_sym_matvec` (self-Gram, prep hoisted into a closure) and
+    :func:`pair_gram_contrib` (transient panels, prep inline).
+
+    Returns ``call(scalars, pi, pj, pd, x_operands, vj_row8, vi_col,
+    sqi_col, sqj_row8) -> (out1 (Dip, 1), out2 (n_out2, bm))``.
+    """
+    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pi[t], k))
+    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pj[t], k))
+    x_specs = ([x_spec, y_spec, x_spec, y_spec] if decomp == "bf16x3"
+               else [x_spec, y_spec])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T, nK),
+        in_specs=x_specs + [
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # vj padded row
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # vi col
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # sqi
+            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # sqj padded row
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
+            pl.BlockSpec((n_out2, bm), lambda t, k, s, pi, pj, pd: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
+    )
+    kernel_fn = functools.partial(
+        _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
+        precision=precision, decomp=decomp, acc_dtype=acc_dtype,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
+        bytes_accessed=(2 * T * bm * fp + 4 * Dip + T * bm) * dtype.itemsize,
+        transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
+    )
+
+    def call(scalars, pi, pj, pd, x_operands, vj_row8, vi_col, sqi_col,
+             sqj_row8):
+        return pl.pallas_call(
+            kernel_fn,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Dip, 1), acc_dtype),
+                jax.ShapeDtypeStruct((n_out2, bm), acc_dtype),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(scalars, pi, pj, pd, *x_operands, vj_row8, vi_col, sqi_col,
+          sqj_row8)
+
+    return call
+
+
 def _gram_matvec_sym_kernel(
     scalars_ref,  # SMEM (2,): gamma, coef0
     pi_ref,  # SMEM (T,): row-block index of pair t
@@ -576,49 +656,12 @@ def make_sym_matvec(
     sq_row8 = _rowsq_padded(sq, nI, bm)  # row 8j = sq of column block j
     scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
-    # precision tier -> MXU strategy (exact f32 emulation is ~11x slower
-    # than a bf16 pass; HIGH = manual 3-pass split-bf16)
-    if precision in (lax.Precision.HIGH,) and dtype == jnp.float32:
-        decomp = "bf16x3"
-    else:
-        decomp = "exact"
-        if precision == lax.Precision.HIGH:
-            precision = lax.Precision.HIGHEST  # Mosaic has no HIGH dot lowering
-
-    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pi[t], k))
-    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pj[t], k))
-    if decomp == "bf16x3":
-        X_hi, X_lo = _split_bf16(X)
-        x_operands = (X_hi, X_hi, X_lo, X_lo)
-        x_specs = [x_spec, y_spec, x_spec, y_spec]
-    else:
-        x_operands = (X, X)
-        x_specs = [x_spec, y_spec]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(T, nK),
-        in_specs=x_specs + [
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # vj padded row
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # vi col
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),  # sqi
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),  # sqj padded row
-        ],
-        out_specs=[
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
-            pl.BlockSpec((nIp, bm), lambda t, k, s, pi, pj, pd: (0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
-    )
-
-    kernel_fn = functools.partial(
-        _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
-        precision=precision, decomp=decomp, acc_dtype=acc_dtype,
-    )
-    cost = pl.CostEstimate(
-        flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
-        bytes_accessed=(2 * T * bm * fp + 3 * Dp + T * bm) * dtype.itemsize,
-        transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
+    decomp, precision = _resolve_decomp(precision, dtype)
+    x_operands = _pair_operands(decomp, X, X)
+    call = _pair_call_builder(
+        kernel, degree, bm=bm, bk=bk, nK=nK, T=T, n_out2=nIp, Dip=Dp, fp=fp,
+        decomp=decomp, precision=precision, acc_dtype=acc_dtype, dtype=dtype,
+        interpret=interpret,
     )
 
     def matvec(v):
@@ -626,16 +669,8 @@ def make_sym_matvec(
         v_pad = v if Dp == D else jnp.zeros((Dp,), dtype).at[:D].set(v)
         v_col = v_pad[:, None]
         v_row8 = _rowsq_padded(v_col, nI, bm)
-        out1, out2 = pl.pallas_call(
-            kernel_fn,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((Dp, 1), acc_dtype),
-                jax.ShapeDtypeStruct((nIp, bm), acc_dtype),
-            ],
-            cost_estimate=cost,
-            interpret=interpret,
-        )(scalars, pi, pj, pd, *x_operands, v_row8, v_col, sq, sq_row8)
+        out1, out2 = call(scalars, pi, pj, pd, x_operands, v_row8, v_col,
+                          sq, sq_row8)
         return (out1[:, 0] + out2[:nI].reshape(Dp))[:D].astype(out_dtype)
 
     return matvec
@@ -764,57 +799,15 @@ def pair_gram_contrib(
     vj_row8 = _rowsq_padded(_pad1(v_j, Djp)[:, None], nJ, bm)
     scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
-    if precision in (lax.Precision.HIGH,) and dtype == jnp.float32:
-        decomp = "bf16x3"
-    else:
-        decomp = "exact"
-        if precision == lax.Precision.HIGH:
-            precision = lax.Precision.HIGHEST
-
-    x_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pi[t], k))
-    y_spec = pl.BlockSpec((bm, bk), lambda t, k, s, pi, pj, pd: (pj[t], k))
-    if decomp == "bf16x3":
-        Xi_hi, Xi_lo = _split_bf16(Xip)
-        Xj_hi, Xj_lo = (Xi_hi, Xi_lo) if Xjp is Xip else _split_bf16(Xjp)
-        x_operands = (Xi_hi, Xj_hi, Xi_lo, Xj_lo)
-        x_specs = [x_spec, y_spec, x_spec, y_spec]
-    else:
-        x_operands = (Xip, Xjp)
-        x_specs = [x_spec, y_spec]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(T, nK),
-        in_specs=x_specs + [
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
-            pl.BlockSpec((8, bm), lambda t, k, s, pi, pj, pd: (pj[t], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bm, 1), lambda t, k, s, pi, pj, pd: (pi[t], 0)),
-            pl.BlockSpec((nJp, bm), lambda t, k, s, pi, pj, pd: (0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((bm, bm), acc_dtype)],
-    )
-    out1, out2 = pl.pallas_call(
-        functools.partial(
-            _gram_matvec_sym_kernel, kernel=kernel, degree=degree, nk=nK,
-            precision=precision, decomp=decomp, acc_dtype=acc_dtype,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Dip, 1), acc_dtype),
-            jax.ShapeDtypeStruct((nJp, bm), acc_dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * bm * bm * fp + 4 * T * bm * bm,
-            bytes_accessed=(2 * T * bm * fp + 2 * Dip + 2 * Djp + T * bm)
-            * dtype.itemsize,
-            transcendentals=T * bm * bm if kernel == KernelType.rbf else 0,
-        ),
+    decomp, precision = _resolve_decomp(precision, dtype)
+    x_operands = _pair_operands(decomp, Xip, Xjp)
+    call = _pair_call_builder(
+        kernel, degree, bm=bm, bk=bk, nK=nK, T=T, n_out2=nJp, Dip=Dip, fp=fp,
+        decomp=decomp, precision=precision, acc_dtype=acc_dtype, dtype=dtype,
         interpret=interpret,
-    )(scalars, pi, pj, pd, *x_operands, vj_row8, vi_col, sqi_col, sqj_row8)
+    )
+    out1, out2 = call(scalars, pi, pj, pd, x_operands, vj_row8, vi_col,
+                      sqi_col, sqj_row8)
     out_i = out1[:Di, 0].astype(out_dtype)
     out_j = out2[:nJ].reshape(Djp)[:Dj].astype(out_dtype)
     return out_i, out_j

@@ -209,35 +209,109 @@ class TiledELL:
     @staticmethod
     def from_csr(csr: sp.csr_matrix, dtype=np.float32,
                  pad_rows: int | None = None) -> "TiledELL":
-        csr = csr.tocsr()
-        csr.sum_duplicates()
-        csr.sort_indices()
-        n, f = csr.shape
-        rows_out = pad_rows if pad_rows is not None else n
-        ntiles = max(1, -(-f // 128))
-        nnz_per_row = np.diff(csr.indptr)
-        rows = np.repeat(np.arange(n), nnz_per_row)
-        cols = csr.indices
-        tile = cols // 128
-        lcol = (cols % 128).astype(np.int32)
-        # slot position within each (row, tile) bucket: indices are sorted
-        # per row, so bucket entries are contiguous in the CSR stream
-        key = rows.astype(np.int64) * ntiles + tile
-        if key.size:
-            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-            bucket_start = np.repeat(starts, np.diff(np.r_[starts, key.size]))
-            slot = np.arange(key.size) - bucket_start
-            Lt = int(slot.max()) + 1
-        else:
-            slot = np.zeros(0, np.int64)
-            Lt = 1
-        vals = np.zeros((rows_out, ntiles * Lt), dtype=dtype)
-        lcols = np.zeros((rows_out, ntiles * Lt), dtype=np.int32)
-        pos = tile * Lt + slot
-        vals[rows, pos] = csr.data
-        lcols[rows, pos] = lcol
-        return TiledELL(vals=jnp.asarray(vals), lcols=jnp.asarray(lcols),
-                        shape=(rows_out, f), ntiles=ntiles, Lt=Lt)
+        tell, heavy_idx, _ = pack_tiled_hybrid(
+            csr, dtype=dtype, pad_rows=pad_rows, cap=None)
+        assert heavy_idx.size == 0  # cap=None packs every row
+        return tell
+
+
+@dataclass
+class TiledHybrid:
+    """Tiled-ELL light rows + a small DENSE block of heavy rows.
+
+    The tiled-ELL capacity ``Lt`` pads every (row, tile) bucket to the
+    worst fill; one dense-ish row would inflate it to 128 — up to ~2x the
+    padded-dense size (the skew failure HybridSparse's COO tail solved for
+    plain ELL).  Here ``Lt`` is capped at the memory-optimal value over the
+    row-max-fill histogram and the few rows exceeding it are carried as
+    DENSE (h, ntiles*128) rows instead: densified panels place them with
+    row-slice updates (still zero scatter), and their O(n)-vector
+    contributions (sq, g_last) are host-precomputed.  Memory is
+    ``rows*ntiles*Lt + h*fp`` — bounded, skew-robust.
+    """
+
+    tell: TiledELL  # light rows (heavy rows zeroed inside)
+    heavy_idx: np.ndarray  # (h,) HOST int array — static row positions
+    heavy: jnp.ndarray  # (h, ntiles*128) dense heavy rows
+
+    @staticmethod
+    def from_csr(csr: sp.csr_matrix, dtype=np.float32,
+                 pad_rows: int | None = None) -> "TiledHybrid":
+        tell, heavy_idx, heavy = pack_tiled_hybrid(
+            csr, dtype=dtype, pad_rows=pad_rows)
+        return TiledHybrid(tell=tell, heavy_idx=heavy_idx,
+                           heavy=jnp.asarray(heavy))
+
+    @property
+    def cells(self) -> int:
+        return self.tell.vals.size + self.heavy.size
+
+
+def pack_tiled_hybrid(csr: sp.csr_matrix, dtype=np.float32,
+                      pad_rows: int | None = None, cap: int | None = 0):
+    """Pack a CSR into (TiledELL light rows, heavy_idx, heavy_dense).
+
+    ``cap=None`` disables the heavy split (Lt = global max fill);
+    ``cap=0`` (default) picks the memory-optimal Lt over the row-max-fill
+    histogram: minimize ``rows*ntiles*Lt + h(Lt)*ntiles*128`` where
+    ``h(Lt)`` counts rows whose worst tile fill exceeds Lt.
+    """
+    csr = csr.tocsr()
+    csr.sum_duplicates()
+    csr.sort_indices()
+    n, f = csr.shape
+    rows_out = pad_rows if pad_rows is not None else n
+    ntiles = max(1, -(-f // 128))
+    nnz_per_row = np.diff(csr.indptr)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    cols = csr.indices
+    tile = cols // 128
+    lcol = (cols % 128).astype(np.int32)
+    # slot position within each (row, tile) bucket: indices are sorted
+    # per row, so bucket entries are contiguous in the CSR stream
+    key = rows.astype(np.int64) * ntiles + tile
+    if key.size:
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bucket_start = np.repeat(starts, np.diff(np.r_[starts, key.size]))
+        slot = np.arange(key.size) - bucket_start
+        bucket_fill = slot + 1
+        # worst tile fill per row
+        rowmax = np.zeros(n, np.int64)
+        np.maximum.at(rowmax, rows, bucket_fill)
+        max_fill = int(bucket_fill.max())
+    else:
+        slot = np.zeros(0, np.int64)
+        rowmax = np.zeros(n, np.int64)
+        max_fill = 1
+
+    if cap is None or max_fill <= 1:
+        Lt = max(1, max_fill)
+        heavy_mask = np.zeros(n, bool)
+    else:
+        # memory-optimal cap over the rowmax histogram
+        counts = np.bincount(rowmax, minlength=max_fill + 1)
+        rows_above = counts[::-1].cumsum()[::-1]  # rows with rowmax >= k
+        cands = np.arange(1, max_fill + 1)
+        h = rows_above[1:][cands - 1] if max_fill >= 1 else np.zeros(0)
+        # h(Lt) = #rows with rowmax > Lt
+        h = np.concatenate([rows_above[2:], [0]]) if max_fill >= 1 else h
+        cost = rows_out * ntiles * cands + h * (ntiles * 128)
+        Lt = int(cands[np.argmin(cost)]) if cap == 0 else min(int(cap), max_fill)
+        heavy_mask = rowmax > Lt
+
+    heavy_idx = np.flatnonzero(heavy_mask)
+    light_sel = ~heavy_mask[rows] if rows.size else np.zeros(0, bool)
+    vals = np.zeros((rows_out, ntiles * Lt), dtype=dtype)
+    lcols = np.zeros((rows_out, ntiles * Lt), dtype=np.int32)
+    pos = tile * Lt + slot
+    vals[rows[light_sel], pos[light_sel]] = csr.data[light_sel]
+    lcols[rows[light_sel], pos[light_sel]] = lcol[light_sel]
+    heavy = np.zeros((len(heavy_idx), ntiles * 128), dtype=dtype)
+    if len(heavy_idx):
+        heavy[:, :f] = csr[heavy_idx].toarray()
+    tell = TiledELL(vals=jnp.asarray(vals), lcols=jnp.asarray(lcols),
+                    shape=(rows_out, f), ntiles=ntiles, Lt=Lt)
+    return tell, heavy_idx, heavy
 
 
 def densify_tiled(vals, lcols, ntiles: int, Lt: int):
@@ -284,7 +358,9 @@ def stream_panel_rows(D: int, fp: int, itemsize: int, budget_bytes: int) -> int:
 def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
                             degree: int, gamma, coef0, *, ntiles: int,
                             Lt: int, panel_rows: int, use_pallas: bool,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            heavy=None, heavy_rows: tuple = (),
+                            heavy_sq_vec=None):
     """``v -> K(X, X) @ v`` for tiled-ELL-packed X via transient dense
     panels — the streaming north-star path rebuilt scatter-free:
 
@@ -298,8 +374,14 @@ def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
        fused kernel transform, BOTH direction epilogues in one pass —
        triangular FLOPs like the dense flagship kernel.
 
-    Memory: O(rows * ntiles * Lt) resident + O(panel_rows * f) transient.
-    Returns ``(matvec, sq)``.
+    Heavy rows (skew spill, :class:`TiledHybrid`): ``heavy`` carries the
+    dense rows, ``heavy_rows`` their static positions; panels place them
+    with row-slice updates after the compare-densify (zero scatter), and
+    ``heavy_sq_vec`` (host-precomputed, zero at light rows) completes the
+    squared norms.
+
+    Memory: O(rows * ntiles * Lt + h * f) resident + O(panel_rows * f)
+    transient.  Returns ``(matvec, sq)``.
     """
     from ..types import KernelType
     from .pallas_matvec import pair_gram_contrib, pair_gram_contrib_xla
@@ -309,9 +391,16 @@ def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
     bounds = list(range(0, D, panel_rows)) + [D]  # ragged last panel is fine
     nP = len(bounds) - 1
     sq = jnp.sum(tell_vals * tell_vals, axis=1)
+    if heavy_sq_vec is not None:
+        sq = sq + heavy_sq_vec
 
     def densify(lo, hi):
-        return densify_tiled(tell_vals[lo:hi], tell_lcols[lo:hi], ntiles, Lt)
+        base = densify_tiled(tell_vals[lo:hi], tell_lcols[lo:hi], ntiles, Lt)
+        for k, r in enumerate(heavy_rows):  # static positions, static loop
+            if lo <= r < hi:
+                base = jax.lax.dynamic_update_slice(
+                    base, heavy[k:k + 1].astype(base.dtype), (r - lo, 0))
+        return base
 
     def matvec(v):
         v = v.astype(tell_vals.dtype)

@@ -540,18 +540,41 @@ def shard_sparse_system(mesh: Mesh, h, b_pad, mask):
     )
 
 
-def shard_sparse_tiled_system(mesh: Mesh, tell, b_pad, mask):
-    """Place a padded tiled-ELL system on the mesh (rows sharded) for the
-    panel-strategy streaming ring.  Returns ``(tvals, tlcols, b, mask)``."""
+def shard_sparse_tiled_system(mesh: Mesh, th, b_pad, mask):
+    """Place a padded :class:`~..ops.sparse.TiledHybrid` system on the mesh
+    (rows sharded) for the panel-strategy streaming ring.  The heavy-row
+    spill is grouped by owning shard and padded to a uniform per-shard
+    count (invalid slots carry the out-of-range row index ``m_loc``, so
+    the in-shard placement skips them).  Returns
+    ``(tvals, tlcols, heavy, hrow, b, mask)``."""
     p = mesh.devices.size
+    tell = th.tell
     n = tell.vals.shape[0]
     if n % p != 0:
         raise ValueError(f"padded rows {n} must divide over the {p}-device mesh")
+    m_loc = n // p
+    fp = tell.padded_features
+
+    hidx = np.asarray(th.heavy_idx)
+    heavy_np = np.asarray(th.heavy)
+    sid = hidx // m_loc if hidx.size else np.zeros(0, np.int64)
+    h_max = int(np.bincount(sid, minlength=p).max()) if hidx.size else 0
+    H = np.zeros((p, h_max, fp), heavy_np.dtype if hidx.size else tell.vals.dtype)
+    R = np.full((p, h_max), m_loc, np.int32)  # m_loc = inert sentinel
+    for s in range(p):
+        sel = sid == s
+        k = int(sel.sum())
+        H[s, :k] = heavy_np[sel]
+        R[s, :k] = (hidx[sel] - s * m_loc).astype(np.int32)
+
     row_sharding = NamedSharding(mesh, P(DATA_AXIS))
     mat_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    mat3_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
     return (
         jax.device_put(tell.vals, mat_sharding),
         jax.device_put(tell.lcols, mat_sharding),
+        jax.device_put(H, mat3_sharding),
+        jax.device_put(R, mat_sharding),
         jax.device_put(b_pad, row_sharding),
         jax.device_put(mask, row_sharding),
     )
@@ -573,9 +596,10 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
     two tiled slabs + two transient dense panels per chip; the kernel
     matrix and the full dense X never materialize.
 
-    Returns ``fn(tvals, tlcols, x_last_dense, b, mask, gamma, coef0, cost,
-    eps, imax)`` with system arrays sharded as produced by
-    :func:`shard_sparse_tiled_system`.
+    Returns ``fn(tvals, tlcols, heavy, hrow, x_last_dense, b, mask, gamma,
+    coef0, cost, eps, imax)`` with system arrays sharded as produced by
+    :func:`shard_sparse_tiled_system` (``heavy``/``hrow`` carry each
+    shard's dense heavy-row spill; inert slots point at row ``m_loc``).
     """
     from ..ops.sparse import densify_tiled, sparse_q_qa_kii, tiled_matvec
     from ..solver.cg import cg_solve
@@ -587,34 +611,55 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                   P(), P(DATA_AXIS), P(DATA_AXIS),
                   P(), P(), P(), P(), P()),
         out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    def run(tvals, tlcols, x_last, b_loc, mask_loc,
+    def run(tvals, tlcols, heavy3, hrow2, x_last, b_loc, mask_loc,
             gamma, coef0, cost, eps, imax):
         dtype = tvals.dtype
         f = x_last.shape[0]
         fp = ntiles * 128
         m_loc = tvals.shape[0]
+        heavy = heavy3[0].astype(dtype)  # (h_max, fp) local heavy rows
+        hrow = hrow2[0]  # (h_max,) local row indices (m_loc = inert)
+        h_max = heavy.shape[0]
         cost_inv = jnp.asarray(1.0, dtype) / cost
         num = lax.axis_size(DATA_AXIS)
         bounds = list(range(0, m_loc, panel_rows)) + [m_loc]
         nP = len(bounds) - 1
 
-        sq_loc = jnp.sum(tvals * tvals, axis=1)
         x_last_p = (x_last if f == fp
                     else jnp.zeros((fp,), dtype).at[:f].set(x_last))
+        sq_loc = jnp.sum(tvals * tvals, axis=1)
         g_last = tiled_matvec(tvals, tlcols, x_last_p, ntiles, Lt)
+        if h_max:
+            # heavy-row O(m) contributions, scatter-free via a one-hot
+            # contraction (inert slots point past m_loc and match nothing)
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (h_max, m_loc), 1)
+            onehot = (hrow[:, None] == rows_iota).astype(dtype)
+            sq_loc = sq_loc + onehot.T @ jnp.sum(heavy * heavy, axis=1)
+            g_last = g_last + onehot.T @ (heavy @ x_last_p)
         sq_last = jnp.dot(x_last, x_last, preferred_element_type=dtype,
                           precision=PRECISION)
         q_loc, QA_cost, kii = sparse_q_qa_kii(
             int(kernel), degree, gamma, coef0, g_last, sq_last, sq_loc,
             mask_loc, cost_inv)
 
-        def densify(v, c, lo, hi):
-            return densify_tiled(v[lo:hi], c[lo:hi], ntiles, Lt)
+        def densify(v, c, hv, hr, lo, hi):
+            base = densify_tiled(v[lo:hi], c[lo:hi], ntiles, Lt)
+            zero = jnp.asarray(0, jnp.int32)
+            for k in range(h_max):
+                # traced positions (the in-flight shard's heavy rows differ
+                # per hop): gated read-modify-write row slice, no scatter
+                idx = jnp.clip(hr[k] - lo, 0, hi - lo - 1).astype(jnp.int32)
+                in_rng = jnp.logical_and(hr[k] >= lo, hr[k] < hi)
+                cur = lax.dynamic_slice(base, (idx, zero), (1, base.shape[1]))
+                row = jnp.where(in_rng, hv[k:k + 1], cur)
+                base = lax.dynamic_update_slice(base, row, (idx, zero))
+            return base
 
         # f64 rides the exact-f64 XLA panel product (no Mosaic f64 path)
         if use_pallas and dtype == jnp.float64:
@@ -642,17 +687,17 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
                 return jnp.dot(Kblk, vJ, preferred_element_type=dtype,
                                precision=PRECISION)
 
-        def hop_contrib(bv, bc, bsq, vb):
+        def hop_contrib(bv, bc, bhv, bhr, bsq, vb):
             """Local rows x in-flight slab: densify panels of both sides on
             the fly (scatter-free) and sum fused panel products."""
             outs = []
             for I in range(nP):
                 loI, hiI = bounds[I], bounds[I + 1]
-                XdI = densify(tvals, tlcols, loI, hiI)
+                XdI = densify(tvals, tlcols, heavy, hrow, loI, hiI)
                 acc = jnp.zeros((hiI - loI,), dtype)
                 for J in range(nP):
                     loJ, hiJ = bounds[J], bounds[J + 1]
-                    XdJ = densify(bv, bc, loJ, hiJ)
+                    XdJ = densify(bv, bc, bhv, bhr, loJ, hiJ)
                     acc = acc + panel_product(XdI, XdJ, bsq[loJ:hiJ],
                                               vb[loJ:hiJ])
                 outs.append(acc)
@@ -662,14 +707,15 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
 
         def matvec(v_loc):
             def step(carry, _):
-                bv, bc, bsq, vb, acc = carry
-                acc = acc + hop_contrib(bv, bc, bsq, vb)
-                bv, bc, bsq, vb = (
+                bv, bc, bhv, bhr, bsq, vb, acc = carry
+                acc = acc + hop_contrib(bv, bc, bhv, bhr, bsq, vb)
+                bv, bc, bhv, bhr, bsq, vb = (
                     lax.ppermute(x, DATA_AXIS, right)
-                    for x in (bv, bc, bsq, vb))
-                return (bv, bc, bsq, vb, acc), None
+                    for x in (bv, bc, bhv, bhr, bsq, vb))
+                return (bv, bc, bhv, bhr, bsq, vb, acc), None
 
-            init = (tvals, tlcols, sq_loc, v_loc, jnp.zeros_like(v_loc))
+            init = (tvals, tlcols, heavy, hrow, sq_loc, v_loc,
+                    jnp.zeros_like(v_loc))
             (*_, Kv_loc), _ = lax.scan(step, init, None, length=num)
             return _local_corrections(Kv_loc, v_loc, q_loc, mask_loc,
                                       QA_cost, cost_inv)

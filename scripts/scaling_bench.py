@@ -63,7 +63,7 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16,
         import scipy.sparse as sp
 
         from plssvm_sparse_fp22_tpu.ops.sparse import (
-            HybridSparse, TiledELL, stream_panel_rows,
+            HybridSparse, TiledHybrid, stream_panel_rows,
             streaming_stream_strategy)
         from plssvm_sparse_fp22_tpu.parallel.sharded import (
             make_sharded_sparse_linear_learn,
@@ -88,15 +88,15 @@ def measure(mesh, rows_per_dev, f, kernel_name, mode, lo=4, hi=16,
         elif streaming_stream_strategy(L_est, f) == "panel":
             # what the product surface runs at this density: tiled slabs
             # ring the mesh, panels densify scatter-free per hop
-            tell = TiledELL.from_csr(csr, dtype=dtype, pad_rows=D)
+            th = TiledHybrid.from_csr(csr, dtype=dtype, pad_rows=D)
             panel_rows = stream_panel_rows(
-                D // p, tell.padded_features, 4, 8 * 1024**3)
+                D // p, th.tell.padded_features, 4, 8 * 1024**3)
             learn = make_sharded_sparse_panel_learn(
-                mesh, kernel, 3, ntiles=tell.ntiles, Lt=tell.Lt,
+                mesh, kernel, 3, ntiles=th.tell.ntiles, Lt=th.tell.Lt,
                 panel_rows=panel_rows)
-            tv, tc, _b, mask_dev = shard_sparse_tiled_system(
-                mesh, tell, np.zeros(D, dtype), mask)
-            head = (tv, tc)
+            tv, tc, hv, hr, _b, mask_dev = shard_sparse_tiled_system(
+                mesh, th, np.zeros(D, dtype), mask)
+            head = (tv, tc, hv, hr)
             tail_scalars = kernel_scalars
         else:
             h = HybridSparse.from_csr(csr, dtype=dtype, pad_rows=D)

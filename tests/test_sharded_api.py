@@ -424,3 +424,23 @@ def test_sparse_ring_multi_panel_in_shard(monkeypatch):
     monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
     svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
     _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)
+
+
+def test_sparse_ring_with_heavy_rows(monkeypatch):
+    """The panel ring carries skewed rows as a dense heavy-row spill that
+    rides the ring alongside the tiled slabs — parity with the dense
+    single-chip model."""
+    monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "100000")
+    rng = np.random.default_rng(59)
+    n, f = 1100, 300
+    csr = _random_sparse(n, f, density=0.05, seed=59)[0].tolil()
+    for r in (3, 540, 1050):  # heavy rows on different shards
+        csr[r, :] = rng.normal(size=f)
+    csr = csr.tocsr()
+    y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+    svm = _train_sparse(csr, y, KernelType.rbf, devices=4, max_iter=300)
+    assert svm.last_cg_info["mode"] == "sharded_sparse_implicit[4]", \
+        svm.last_cg_info
+    monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
+    svm_d = _train(csr.toarray(), y, KernelType.rbf, devices=1)
+    _assert_matches(svm.alphas, svm.bias_, svm_d.alphas, svm_d.bias_)

@@ -536,3 +536,74 @@ class TestPairGramContrib:
                                        interpret=True, **common)
         np.testing.assert_allclose(np.asarray(out_p[0]), np.asarray(out_x[0]),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestTiledHybridSkew:
+    """Skew robustness of the panel packing (review finding r4): one dense
+    row must not inflate Lt to the tile width — it spills to the dense
+    heavy-row block instead, keeping memory nnz-proportional."""
+
+    def test_pack_memory_bounded(self):
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledELL, TiledHybrid
+
+        rng = np.random.default_rng(3)
+        csr = sp.random(2000, 1024, density=0.02, format="lil",
+                        random_state=rng)
+        csr[7, :] = rng.normal(size=1024)
+        csr = csr.tocsr()
+        csr.eliminate_zeros()
+        th = TiledHybrid.from_csr(csr, dtype=np.float64)
+        raw = TiledELL.from_csr(csr, dtype=np.float64)
+        dense_cells = 2000 * th.tell.padded_features
+        assert raw.Lt == 128  # the uncapped packing blows up...
+        assert th.tell.Lt < 16  # ...the hybrid cap does not
+        assert 7 in th.heavy_idx
+        assert th.cells < dense_cells // 5
+
+    def test_heavy_rows_learn_parity(self, monkeypatch):
+        """Single-chip panel learn with heavy rows matches the dense model
+        (multi-panel, so heavy placement crosses panel boundaries)."""
+        monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
+        rng = np.random.default_rng(31)
+        n, f = 520, 600
+        csr = sp.random(n, f, density=0.03, format="lil", random_state=rng,
+                        data_rvs=lambda k: rng.normal(size=k))
+        for r in (11, 250, 400):
+            csr[r, :] = rng.normal(size=f)
+        csr = csr.tocsr()
+        for i in range(n):
+            if csr.indptr[i] == csr.indptr[i + 1]:
+                csr[i, rng.integers(f)] = rng.normal()
+        csr = csr.tocsr()
+        y = np.where(rng.normal(size=n) > 0, 1.0, -1.0)
+        # small budget: multiple panels
+        monkeypatch.setenv("PLSSVM_K_CACHE_BYTES", "5000000")
+        svm_s = pt.CSVM(_make_params(csr, y, KernelType.rbf, sparse=True))
+        svm_s.print_info = False
+        svm_s.learn()
+        assert svm_s.last_cg_info["mode"] == "sparse_implicit"
+        monkeypatch.delenv("PLSSVM_SPARSE_MODE")
+        monkeypatch.delenv("PLSSVM_K_CACHE_BYTES")
+        svm_d = pt.CSVM(_make_params(csr, y, KernelType.rbf, sparse=False))
+        svm_d.print_info = False
+        svm_d.learn()
+        np.testing.assert_allclose(svm_s.alphas[:-1], svm_d.alphas[:-1],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dense_ish_data_falls_back_to_gather(self, monkeypatch):
+        """Data too dense for the tiled packing (cells >= half the padded
+        dense size) routes to the memory-safe gather arm instead."""
+        from plssvm_sparse_fp22_tpu.ops.sparse import TiledHybrid
+
+        rng = np.random.default_rng(5)
+        csr = sp.random(96, 256, density=0.9, format="csr", random_state=rng,
+                        data_rvs=lambda k: rng.normal(size=k))
+        th = TiledHybrid.from_csr(csr, dtype=np.float64)
+        assert th.cells > (96 * th.tell.padded_features) // 2
+        monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
+        svm = pt.CSVM(_make_params(csr, y=np.where(
+            rng.normal(size=96) > 0, 1.0, -1.0), kernel=KernelType.rbf,
+            sparse=True))
+        svm.print_info = False
+        svm.learn()  # gather arm; just must run within memory
+        assert svm.last_cg_info["mode"] == "sparse_implicit"
