@@ -292,9 +292,8 @@ def pack_tiled_hybrid(csr: sp.csr_matrix, dtype=np.float32,
         counts = np.bincount(rowmax, minlength=max_fill + 1)
         rows_above = counts[::-1].cumsum()[::-1]  # rows with rowmax >= k
         cands = np.arange(1, max_fill + 1)
-        h = rows_above[1:][cands - 1] if max_fill >= 1 else np.zeros(0)
-        # h(Lt) = #rows with rowmax > Lt
-        h = np.concatenate([rows_above[2:], [0]]) if max_fill >= 1 else h
+        # h(Lt) = #rows with rowmax > Lt = rows_above[Lt + 1]
+        h = np.concatenate([rows_above[2:], [0]])
         cost = rows_out * ntiles * cands + h * (ntiles * 128)
         Lt = int(cands[np.argmin(cost)]) if cap == 0 else min(int(cap), max_fill)
         heavy_mask = rowmax > Lt
