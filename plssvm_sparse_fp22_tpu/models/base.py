@@ -589,10 +589,7 @@ class CSVM:
             b_pad, mask = self._padded_vectors(D, dept, y)
             return self._learn_sparse(D, dept, f, b_pad, mask, imax)
         self._reject_chunk_flags_on_sparse()
-        from ..ops.sparse import streaming_stream_strategy
-
         csr = self.data.csr
-        L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
         scalars = (
             jnp.asarray(self.gamma, self.dtype),
             jnp.asarray(self.coef0, self.dtype),
@@ -600,16 +597,10 @@ class CSVM:
             jnp.asarray(self.epsilon, self.dtype),
             jnp.asarray(imax, jnp.int32),
         )
-        th = None
-        if streaming_stream_strategy(L_est, f) == "panel":
-            from ..ops.sparse import TiledHybrid
-
-            D = _round_up(dept, PAD_SIZE * ndev)
-            th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
-            # memory guard: see the single-chip twin in _learn_sparse
-            if th.cells > (D * th.tell.padded_features) // 2:
-                th = None
-        if th is not None:
+        D = _round_up(dept, PAD_SIZE * ndev)
+        plan = self._plan_sparse_panel(csr, dept, D)
+        if plan is not None:
+            th, use_pallas = plan
             # moderate density: tiled slabs ring the mesh; per hop both
             # sides densify scatter-free into budget-sized panels and run
             # the fused Pallas Gram-matvec — the dense-ring hop at MXU rate
@@ -623,9 +614,6 @@ class CSVM:
             panel_rows = stream_panel_rows(
                 D // ndev, th.tell.padded_features, itemsize,
                 _k_cache_budget_bytes())
-            use_pallas = (self.backend == BackendType.pallas
-                          and jax.default_backend() == "tpu"
-                          and self.dtype != jnp.float64)
             learn = make_sharded_sparse_panel_learn(
                 mesh, self.kernel, self.degree, ntiles=th.tell.ntiles,
                 Lt=th.tell.Lt, panel_rows=panel_rows,
@@ -642,6 +630,30 @@ class CSVM:
             mesh, self.kernel, self.degree, precond=str(self.params.precond))
         out = learn(*args[:5], jnp.asarray(x_last), *args[5:], *scalars)
         return f"sharded_sparse_implicit[{ndev}]", out
+
+    def _plan_sparse_panel(self, csr, dept, D):
+        """``(TiledHybrid, use_pallas)`` when the streaming ``panel``
+        strategy applies at this density/packing, else ``None`` — the ONE
+        selection policy shared by the single-chip and ring streaming
+        learns (density pre-check, skew-robust packing, the half-dense
+        memory guard, the f64 Pallas gate)."""
+        from ..ops.sparse import TiledHybrid, streaming_stream_strategy
+
+        f = csr.shape[1]
+        L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
+        if streaming_stream_strategy(L_est, f) != "panel":
+            return None
+        th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
+        # memory guard: a packing at >= half the padded-dense size means
+        # the data is not actually sparse enough (or is pathologically
+        # skewed beyond the heavy-row spill) — the nnz-proportional gather
+        # arm is the memory-safe choice
+        if th.cells > (D * th.tell.padded_features) // 2:
+            return None
+        use_pallas = (self.backend == BackendType.pallas
+                      and jax.default_backend() == "tpu"
+                      and self.dtype != jnp.float64)
+        return th, use_pallas
 
     def _reject_chunk_flags_on_sparse(self):
         """Sparse learns cannot chunk CG for checkpoints / per-iteration
@@ -730,35 +742,20 @@ class CSVM:
             )
             return "sparse_dense_implicit", out
         if sparse_mode == "implicit" or (sparse_mode != "gram" and not gram_fits):
-            from ..ops.sparse import (HybridSparse, stream_panel_rows,
-                                      streaming_stream_strategy)
+            from ..ops.sparse import HybridSparse, stream_panel_rows
             from .sparse_learn import (learn_sparse_implicit_jit,
                                        learn_sparse_panel_jit)
 
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
-            L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
-            th = None
-            if streaming_stream_strategy(L_est, f) == "panel":
-                from ..ops.sparse import TiledHybrid
-
-                th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype,
-                                          pad_rows=D)
-                fp = th.tell.padded_features
-                # memory guard: a packing at >= half the padded-dense size
-                # means the data is not actually sparse enough (or is
-                # pathologically skewed beyond the heavy-row spill) —
-                # the nnz-proportional gather arm is the memory-safe choice
-                if th.cells > (D * fp) // 2:
-                    th = None
-            if th is not None:
+            plan = self._plan_sparse_panel(csr, dept, D)
+            if plan is not None:
+                th, use_pallas = plan
                 # moderate density: transient scatter-free densified panels
                 # on the fused Pallas pair kernel (MXU rate,
                 # O(n·tiles·Lt + h·f) resident memory) — VERDICT r3 #1
                 panel_rows = stream_panel_rows(
-                    D, fp, itemsize, _k_cache_budget_bytes())
-                use_pallas = (self.backend == BackendType.pallas
-                              and jax.default_backend() == "tpu"
-                              and self.dtype != jnp.float64)
+                    D, th.tell.padded_features, itemsize,
+                    _k_cache_budget_bytes())
                 # heavy-row O(n)-vector contributions, host-precomputed
                 hs = np.zeros(D, dtype=self.dtype)
                 hg = np.zeros(D, dtype=self.dtype)

@@ -63,6 +63,19 @@ def _poly(G, degree, gamma, coef0):
     return base ** degree
 
 
+def kernel_diag(kernel: KernelType, sq, degree=3, gamma=1.0, coef0=0.0):
+    """Kernel-matrix diagonal ``k(x_i, x_i)`` from squared norms — the ONE
+    place this formula lives (Jacobi preconditioners, feature-sharded
+    learn, sparse kii all route here)."""
+    if kernel == KernelType.linear:
+        return sq
+    if kernel == KernelType.polynomial:
+        return _poly(sq, degree, gamma, coef0)
+    if kernel == KernelType.rbf:
+        return jnp.ones_like(sq)
+    raise ValueError(f"unknown kernel {kernel}")
+
+
 def gram_block(
     kernel: KernelType,
     Xi,

@@ -121,13 +121,10 @@ def jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv, degree, gamma, coef0)
 
     Row-local, so the row-sharded path computes its shard's slice with the
     same code."""
+    from .kernel_functions import kernel_diag
+
     sq = jnp.sum(X_pad * X_pad, axis=1)
-    if kernel == KernelType.linear:
-        kii = sq
-    elif kernel == KernelType.polynomial:
-        kii = (gamma * sq + coef0) ** degree
-    else:  # rbf: k(x, x) = 1
-        kii = jnp.ones_like(sq)
+    kii = kernel_diag(kernel, sq, degree, gamma, coef0)
     return jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
 
 

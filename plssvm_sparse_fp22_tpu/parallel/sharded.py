@@ -288,14 +288,10 @@ def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int,
 
         minv = None
         if precond == "jacobi":
+            from ..ops.kernel_functions import kernel_diag
             from ..ops.matvec import jacobi_minv_from_kii
 
-            if kernel == KernelType.linear:
-                kii = sq_loc
-            elif kernel == KernelType.polynomial:
-                kii = (gamma * sq_loc + coef0) ** degree
-            else:  # rbf: k(x, x) = 1
-                kii = jnp.ones_like(sq_loc)
+            kii = kernel_diag(kernel, sq_loc, degree, gamma, coef0)
             minv = jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
 
         res = cg_solve(matvec, b, mask, eps, imax, minv=minv)
