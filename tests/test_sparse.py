@@ -607,3 +607,23 @@ class TestTiledHybridSkew:
         svm.print_info = False
         svm.learn()  # gather arm; just must run within memory
         assert svm.last_cg_info["mode"] == "sparse_implicit"
+
+
+def test_plan_sparse_panel_policy():
+    """The shared panel-selection policy: moderate density plans a panel
+    learn; extreme sparsity (gather regime) and dense-ish packings return
+    None (one policy for the single-chip and ring learns)."""
+    from plssvm_sparse_fp22_tpu.models.base import CSVM
+
+    csr, y = _random_sparse(128, 64, density=0.1, seed=61)
+    svm = pt.CSVM(_make_params(csr, y, KernelType.rbf, sparse=True))
+    plan = svm._plan_sparse_panel(csr, 127, 128)
+    assert plan is not None
+    th, use_pallas = plan
+    assert th.tell.vals.shape[0] == 128
+    assert use_pallas is False  # CPU test environment
+
+    # extreme sparsity: mean fill * 1024 < f -> gather regime, no plan
+    wide, yw = _random_sparse(64, 200_000, density=0.00001, seed=63)
+    svm_w = pt.CSVM(_make_params(wide, yw, KernelType.rbf, sparse=True))
+    assert svm_w._plan_sparse_panel(wide, 63, 64) is None
