@@ -548,19 +548,20 @@ def sparse_q_qa_kii(kernel_int: int, degree: int, gamma, coef0,
     ``kii`` from the linear building blocks — the ONE transform shared by
     the single-chip streaming learn and the ring-sharded learn (and valid
     shard-locally: all three outputs are row-local)."""
+    from ..types import KernelType
+    from .kernel_functions import kernel_diag
+
+    kii = kernel_diag(KernelType(kernel_int), sq, degree, gamma, coef0)
     if kernel_int == 1:  # polynomial
         q = jax.lax.integer_pow(gamma * g_last + coef0, degree) * mask
         QA = jax.lax.integer_pow(gamma * sq_last + coef0, degree) + cost_inv
-        kii = jax.lax.integer_pow(gamma * sq + coef0, degree)
     elif kernel_int == 2:  # rbf
         d2 = sq + sq_last - 2.0 * g_last
         q = jnp.exp(-gamma * jnp.maximum(d2, 0.0)) * mask
         QA = jnp.asarray(1.0, g_last.dtype) + cost_inv
-        kii = jnp.ones_like(sq)
     else:  # linear
         q = g_last * mask
         QA = sq_last + cost_inv
-        kii = sq
     return q, QA, kii
 
 
