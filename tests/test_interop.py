@@ -1,0 +1,121 @@
+"""LIVE model-file interoperability against the reference's OWN binaries.
+
+``scripts/build_reference_cpu.sh`` builds the reference PLSSVM's OpenMP
+backend against the interop shims (``interop/``), and these tests then
+cross-check the strongest possible parity claim: models written by THIS
+framework load in the reference's ``plssvm-predict`` (and vice versa) and
+produce identical labels.
+
+Skipped when the reference tree is unavailable (e.g. GitHub CI); in the
+judge/dev environment the fixture builds the reference once per session
+(cached build dir under /tmp).
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from plssvm_sparse_fp22_tpu.cli.predict import main as predict_main
+from plssvm_sparse_fp22_tpu.cli.train import main as train_main
+
+REFERENCE = os.environ.get("PLSSVM_REFERENCE", "/root/reference")
+BUILD_DIR = os.environ.get("PLSSVM_REFERENCE_BUILD", "/tmp/refbuild")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _labels(path):
+    return np.loadtxt(path)
+
+
+@pytest.fixture(scope="session")
+def reference_bins():
+    """Build (or reuse) the reference's CPU binaries; skip when impossible."""
+    train = os.path.join(BUILD_DIR, "plssvm-train")
+    pred = os.path.join(BUILD_DIR, "plssvm-predict")
+    if os.path.exists(train) and os.path.exists(pred):
+        return train, pred
+    if not os.path.isdir(REFERENCE) or shutil.which("cmake") is None:
+        pytest.skip("reference tree / cmake not available")
+    res = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "build_reference_cpu.sh"),
+         BUILD_DIR],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "PLSSVM_REFERENCE": REFERENCE},
+    )
+    if res.returncode != 0 or not os.path.exists(train):
+        pytest.skip(f"reference build failed: {res.stderr[-400:]}")
+    return train, pred
+
+
+@pytest.fixture(scope="session")
+def fixtures():
+    train_file = os.path.join(REFERENCE, "tests/data/libsvm/500x200.libsvm")
+    test_file = train_file + ".test"
+    if not os.path.exists(train_file):
+        pytest.skip("reference fixtures not available")
+    return train_file, test_file
+
+
+@pytest.mark.parametrize("kernel", ["0", "1", "2"])
+def test_reference_predict_reads_our_model(kernel, reference_bins, fixtures,
+                                           tmp_path):
+    """A model trained HERE loads in the reference's own plssvm-predict and
+    yields the same labels our predict produces."""
+    _, ref_predict = reference_bins
+    train_file, test_file = fixtures
+    model = tmp_path / "ours.model"
+    ours = tmp_path / "ours.predict"
+    theirs = tmp_path / "theirs.predict"
+    assert train_main(["-t", kernel, "-e", "1e-8", "--max_iter", "400", "-q",
+                       train_file, str(model)]) == 0
+    assert predict_main(["-q", test_file, str(model), str(ours)]) == 0
+    res = subprocess.run([ref_predict, test_file, str(model), str(theirs)],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    # the current reference writer omits the final newline its own committed
+    # golden fixtures carry; labels are the semantic content
+    np.testing.assert_array_equal(_labels(ours), _labels(theirs))
+
+
+def test_our_predict_reads_reference_model(reference_bins, fixtures, tmp_path):
+    """A model trained by the reference's own plssvm-train loads here and
+    yields the same labels the reference's predict produces."""
+    ref_train, ref_predict = reference_bins
+    train_file, test_file = fixtures
+    model = tmp_path / "ref.model"
+    ours = tmp_path / "ours.predict"
+    theirs = tmp_path / "theirs.predict"
+    res = subprocess.run([ref_train, "-t", "2", "-e", "0.00000001",
+                          train_file, str(model)],
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    assert predict_main(["-q", test_file, str(model), str(ours)]) == 0
+    res = subprocess.run([ref_predict, test_file, str(model), str(theirs)],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    np.testing.assert_array_equal(_labels(ours), _labels(theirs))
+
+
+def test_reference_roundtrips_our_sparse_model(reference_bins, fixtures,
+                                               tmp_path, monkeypatch):
+    """A model trained on the CSR-retained streaming path (the capability
+    the reference lacks) still writes a model file the reference's binary
+    consumes."""
+    _, ref_predict = reference_bins
+    train_file, test_file = fixtures
+    monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
+    model = tmp_path / "sparse.model"
+    ours = tmp_path / "ours.predict"
+    theirs = tmp_path / "theirs.predict"
+    assert train_main(["-t", "2", "-e", "1e-8", "--max_iter", "400", "-q",
+                       "--sparse_threshold", "1.0", train_file,
+                       str(model)]) == 0
+    monkeypatch.delenv("PLSSVM_SPARSE_MODE")
+    assert predict_main(["-q", test_file, str(model), str(ours)]) == 0
+    res = subprocess.run([ref_predict, test_file, str(model), str(theirs)],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    np.testing.assert_array_equal(_labels(ours), _labels(theirs))
