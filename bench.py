@@ -308,6 +308,49 @@ def _cached_roofline(D, iters_per_s, peak_gbs):
     return out
 
 
+def _bench_reference_binary(X, y, gamma):
+    """CG iterations/s of the ACTUAL reference implementation (its OpenMP
+    backend, built by scripts/build_reference_cpu.sh against the interop
+    shims) on this host — the honest reference comparable, measured live.
+    Returns None when the binary isn't available (e.g. CI)."""
+    import re
+    import subprocess
+    import tempfile
+
+    train_bin = os.path.join(
+        os.environ.get("PLSSVM_REFERENCE_BUILD", "/tmp/refbuild"),
+        "plssvm-train")
+    if not os.path.exists(train_bin):
+        return None
+    n, f = X.shape
+    with tempfile.TemporaryDirectory() as td:
+        data = os.path.join(td, "bench.libsvm")
+        with open(data, "w") as fh:
+            for xi, yi in zip(X, y):
+                feats = " ".join(f"{j + 1}:{v:.7g}" for j, v in enumerate(xi))
+                fh.write(f"{int(yi)} {feats}\n")
+        try:
+            # 1e-6 tolerance: a few more CG iterations than the 1e-3
+            # default, for a less noisy per-iteration rate
+            res = subprocess.run(
+                [train_bin, "-t", "2", "-g", str(gamma), "-e", "0.000001",
+                 data, os.path.join(td, "bench.model")],
+                capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            return None
+    m_it = re.search(r"Finished after (\d+) iterations", res.stdout)
+    m_ms = re.search(r"using CG in (\d+)ms", res.stdout)
+    if not (m_it and m_ms):
+        return None
+    ms = max(1, int(m_ms.group(1)))
+    return {"iters_per_s": round(int(m_it.group(1)) / (ms / 1000.0), 4),
+            "iterations": int(m_it.group(1)),
+            "cg_seconds": ms / 1000.0,
+            "what": ("the reference's own plssvm-train (OpenMP backend, "
+                     f"f64) on this host's {os.cpu_count()} CPU cores, "
+                     "same data/kernel, 1e-6 tolerance")}
+
+
 def _bench_numpy_baseline(X, gamma, iters):
     """The reference algorithm per CG iteration: full implicit kernel-matrix
     product, recomputed every iteration (no K caching), float64."""
@@ -369,6 +412,8 @@ def main():
         time.sleep(10)
         value = _slope_rate(run, lo, hi)
     baseline = _bench_numpy_baseline(X, gamma, iters)
+    y_bench = np.where(np.random.default_rng(1).normal(size=n) > 0, 1, -1)
+    ref_binary = _bench_reference_binary(X, y_bench, gamma)
 
     result = {
         "metric": f"cg_iters_per_s_rbf_{n}x{f}_{mode}_{jax.default_backend()}",
@@ -387,6 +432,12 @@ def main():
         },
         "device_kind": kind,
     }
+    if ref_binary is not None:
+        # the strongest comparable: the reference's own binary, measured
+        # live on this host (built by scripts/build_reference_cpu.sh)
+        result["reference_binary"] = ref_binary
+        result["vs_reference_binary"] = round(
+            value / ref_binary["iters_per_s"], 3)
 
     if survey:
         modes = {f"{mode}_rbf": round(value, 3)}
