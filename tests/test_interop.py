@@ -119,3 +119,27 @@ def test_reference_roundtrips_our_sparse_model(reference_bins, fixtures,
                          capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr
     np.testing.assert_array_equal(_labels(ours), _labels(theirs))
+
+
+def test_solver_numeric_parity_with_reference(reference_bins, fixtures,
+                                              tmp_path):
+    """Both implementations solve the same system to the same tolerance:
+    rho and the per-SV alphas of the reference's own training run match
+    ours within CG-trajectory tolerance (the strongest algorithmic-parity
+    evidence available — the actual reference solver, not an oracle)."""
+    from plssvm_sparse_fp22_tpu.io.model import parse_model_file
+
+    ref_train, _ = reference_bins
+    train_file, _ = fixtures
+    ours_model = tmp_path / "ours.model"
+    ref_model = tmp_path / "ref.model"
+    assert train_main(["-t", "2", "-e", "1e-10", "--max_iter", "500", "-q",
+                       train_file, str(ours_model)]) == 0
+    res = subprocess.run([ref_train, "-t", "2", "-e", "0.0000000001",
+                          train_file, str(ref_model)],
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr
+    ours = parse_model_file(str(ours_model))
+    ref = parse_model_file(str(ref_model))
+    assert ours.rho == pytest.approx(ref.rho, rel=1e-4, abs=1e-6)
+    np.testing.assert_allclose(ours.alphas, ref.alphas, rtol=1e-3, atol=1e-6)
