@@ -123,14 +123,26 @@ def test_reference_roundtrips_our_sparse_model(reference_bins, fixtures,
 
 def test_solver_numeric_parity_with_reference(reference_bins, fixtures,
                                               tmp_path):
-    """Both implementations solve the same system to the same tolerance:
-    rho and the per-SV alphas of the reference's own training run match
-    ours within CG-trajectory tolerance (the strongest algorithmic-parity
-    evidence available — the actual reference solver, not an oracle)."""
+    """Both implementations solve the same system to the same answer:
+    rho and the DECISION VALUES of the reference's own training run match
+    ours tightly (the strongest algorithmic-parity evidence available —
+    the actual reference solver, not an oracle).
+
+    Raw alphas are deliberately NOT compared: the reference's OpenMP
+    training is itself nondeterministic (atomicAdd reduction order), and
+    on this rank-deficient fixture two identical reference runs differ by
+    ~0.48 in alpha space while rho agrees to 5e-15 (measured) — the alpha
+    null-space component is reduction-noise, the decision function is the
+    stable quantity (the same reason the reference's tests replay blocked
+    summation order in a sequential oracle, compare.cpp:34-48)."""
     from plssvm_sparse_fp22_tpu.io.model import parse_model_file
+    from plssvm_sparse_fp22_tpu.io.libsvm import parse_libsvm_file
+    from plssvm_sparse_fp22_tpu.models import make_csvm
+    from plssvm_sparse_fp22_tpu.params import Parameter
+    from plssvm_sparse_fp22_tpu.types import KernelType
 
     ref_train, _ = reference_bins
-    train_file, _ = fixtures
+    train_file, test_file = fixtures
     ours_model = tmp_path / "ours.model"
     ref_model = tmp_path / "ref.model"
     assert train_main(["-t", "2", "-e", "1e-10", "--max_iter", "500", "-q",
@@ -142,4 +154,22 @@ def test_solver_numeric_parity_with_reference(reference_bins, fixtures,
     ours = parse_model_file(str(ours_model))
     ref = parse_model_file(str(ref_model))
     assert ours.rho == pytest.approx(ref.rho, rel=1e-4, abs=1e-6)
-    np.testing.assert_allclose(ours.alphas, ref.alphas, rtol=1e-3, atol=1e-6)
+
+    # decision values of both models through ONE engine (ours), so any
+    # difference is model content, not predict implementation
+    def decisions(model):
+        params = Parameter(kernel=KernelType.rbf, print_info=False,
+                           dtype=np.float64,
+                           gamma=model.gamma if model.gamma else 0.0)
+        params.data = model.support_vectors
+        params.values = model.labels
+        params.alphas = model.alphas
+        params.rho = model.rho
+        svm = make_csvm(params)
+        P = parse_libsvm_file(test_file).dense
+        return svm.predict(P)
+
+    d_ours, d_ref = decisions(ours), decisions(ref)
+    scale = np.max(np.abs(d_ref)) + 1e-30
+    np.testing.assert_allclose(d_ours / scale, d_ref / scale,
+                               rtol=0, atol=1e-3)
