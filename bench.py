@@ -351,6 +351,40 @@ def _bench_reference_binary(X, y, gamma):
                      "same data/kernel, 1e-6 tolerance")}
 
 
+def _bench_our_cpu(n, f, gamma):
+    """Our own CG iterations/s on THIS HOST'S CPU (XLA-CPU backend, f64,
+    auto mode) — the same-hardware comparison against the reference
+    binary: both run on the identical cores, isolating the algorithmic
+    win (cached-K GEMV vs the reference recomputing the O(n^2 f) kernel
+    product every iteration).  Subprocess because the parent may be bound
+    to the TPU platform."""
+    import subprocess
+    import sys
+
+    code = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import sys, time, json
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import numpy as np, bench
+rng = np.random.default_rng(42)
+X = rng.normal(size=({n}, {f})).astype(np.float32)
+run, _D = bench._make_dense_runner(X, {gamma}, "rbf", "cached", "xla")
+rate = bench._slope_rate(run, 16, 64, trials=3)
+print("RATE " + json.dumps(rate))
+"""
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=900)
+        line = next(l for l in res.stdout.splitlines() if l.startswith("RATE "))
+        return {"iters_per_s": round(float(line[5:]), 3),
+                "what": ("this framework on the SAME host CPU (XLA-CPU, "
+                         "cached-K mode) — isolates the algorithmic win "
+                         "from the hardware win")}
+    except Exception:
+        return None
+
+
 def _bench_numpy_baseline(X, gamma, iters):
     """The reference algorithm per CG iteration: full implicit kernel-matrix
     product, recomputed every iteration (no K caching), float64."""
@@ -438,6 +472,11 @@ def main():
         result["reference_binary"] = ref_binary
         result["vs_reference_binary"] = round(
             value / ref_binary["iters_per_s"], 3)
+        ours_cpu = _bench_our_cpu(n, f, gamma)
+        if ours_cpu is not None:
+            ours_cpu["vs_reference_binary_same_host"] = round(
+                ours_cpu["iters_per_s"] / ref_binary["iters_per_s"], 3)
+            result["ours_cpu_same_host"] = ours_cpu
 
     if survey:
         modes = {f"{mode}_rbf": round(value, 3)}
