@@ -199,20 +199,24 @@ def _sparse_tier_bench(n, f, density):
         try:
             learn_once(lo)  # compile warmup (both iteration counts)
             learn_once(hi)
-            t_lo, svm_lo = learn_once(lo)
-            t_lo = min(t_lo, learn_once(lo)[0])
-            t_hi, svm = learn_once(hi)
-            t_hi = min(t_hi, learn_once(hi)[0])
+            t_lo_a, svm_lo = learn_once(lo)
+            t_lo_b, _ = learn_once(lo)
+            t_lo = min(t_lo_a, t_lo_b)
+            t_hi_a, svm = learn_once(hi)
+            t_hi_b, _ = learn_once(hi)
+            t_hi = min(t_hi_a, t_hi_b)
             # marginal per-iteration cost over EXECUTED iterations (the
             # eps=0 CG can stop early when the f32 residual underflows to
             # an exact 0.0); the slope cancels the one-time host pack /
             # transfer / setup that dominates learn_s at this scale.  A
-            # span below the host-noise floor reports null, not a fake 0.
+            # span inside the measured run-to-run noise reports null, not
+            # a noise-quotient masquerading as a per-iteration cost.
             it_lo = int(svm_lo.last_cg_info["iterations"])
             it_hi = int(svm.last_cg_info["iterations"])
             span = t_hi - t_lo
+            noise = abs(t_lo_a - t_lo_b) + abs(t_hi_a - t_hi_b)
             per_iter = (round(span / (it_hi - it_lo), 5)
-                        if it_hi > it_lo and span > 0.05 * t_lo else None)
+                        if it_hi > it_lo and span > 2.0 * noise else None)
             tiers[f"sparse_{tier}"] = {
                 "learn8_s": round(t_lo, 4),
                 "s_per_iter": per_iter,
