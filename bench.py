@@ -19,17 +19,27 @@ streams row blocks of X through the MXU (``ops/matvec.py`` mode='implicit').
 Timing excludes compilation (warmup run first); the loop runs a fixed
 iteration count (eps=0 disables the convergence stop).
 
-``vs_baseline`` compares against a live-measured numpy double-precision
-implementation of the same implicit-matvec CG algorithm the reference's
-OpenMP backend executes per iteration (full kernel-matrix product each
-iteration, ``OpenMP/svm_kernel.cpp:21-47``) on this host's CPU.  The
-reference publishes no benchmark numbers (BASELINE.md), so its
-algorithm-on-CPU is the honest comparable.
+Baselines, strongest first:
+
+- ``reference_binary`` / ``vs_reference_binary`` — the REFERENCE'S OWN
+  ``plssvm-train`` (OpenMP backend, built by
+  ``scripts/build_reference_cpu.sh``), trained live on the same
+  data/kernel on this host; emitted whenever the binary is present.
+- ``ours_cpu_same_host`` — this framework on the identical CPU cores
+  (XLA-CPU, cached-K), isolating the algorithmic win from the TPU win.
+- ``vs_baseline`` — a numpy f64 implementation of the reference's
+  per-iteration algorithm (kept for cross-round metric continuity).
+
+``sparse_tiers`` (on by default) reproduces the big-sparse three-tier
+table at 16384x4096 @1% through the product surface, slope-timed over
+executed CG iterations with a run-to-run noise guard.
 
 Environment knobs: PLSSVM_BENCH_N (default 4096), PLSSVM_BENCH_F (256),
 PLSSVM_BENCH_ITERS (256; the lo/hi iteration span must dwarf per-dispatch
 timing noise of the remote-TPU relay), PLSSVM_BENCH_MODE (implicit),
-PLSSVM_BENCH_MODES=0 to skip the per-mode survey (headline only).
+PLSSVM_BENCH_MODES=0 to skip the per-mode survey (headline only),
+PLSSVM_BENCH_SPARSE=0 to skip the tier table
+(PLSSVM_BENCH_SPARSE_N/F/DENSITY size it).
 """
 
 import json
@@ -164,10 +174,11 @@ def _make_sparse_runner(n, f, density, gamma):
 
 
 def _sparse_tier_bench(n, f, density):
-    """The big-sparse regression block (VERDICT r3 #6): warm per-8-iteration
-    learn() time of each sparse poly/rbf tier at the configured size,
+    """The big-sparse regression block (VERDICT r3 #6): end-to-end warm
+    learn time plus the slope-timed marginal cost per EXECUTED CG
+    iteration for each sparse poly/rbf tier at the configured size,
     through the product surface (the PERF.md three-tier table, reproduced
-    every round).  Enabled by PLSSVM_BENCH_SPARSE=1 (size knobs:
+    every round).  On by default (PLSSVM_BENCH_SPARSE=0 skips; size knobs
     PLSSVM_BENCH_SPARSE_N/F/DENSITY, default 16384x4096 @ 1%)."""
     import scipy.sparse as sp
     from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
