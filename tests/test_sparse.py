@@ -627,3 +627,31 @@ def test_plan_sparse_panel_policy():
     wide, yw = _random_sparse(64, 200_000, density=0.00001, seed=63)
     svm_w = pt.CSVM(_make_params(wide, yw, KernelType.rbf, sparse=True))
     assert svm_w._plan_sparse_panel(wide, 63, 64) is None
+
+
+@pytest.mark.parametrize("shapes", [
+    (8, 8, 5),       # tiny, far below one block
+    (100, 36, 129),  # f just over one lane tile
+    (257, 64, 200),  # ragged rows both sides
+    (64, 512, 64),   # j side much larger than i side
+])
+def test_pair_gram_contrib_shape_fuzz(shapes):
+    """The pair kernel's padding/blocking handles arbitrary panel shapes
+    (interpret mode vs the XLA twin)."""
+    from plssvm_sparse_fp22_tpu.ops.pallas_matvec import (
+        pair_gram_contrib, pair_gram_contrib_xla)
+
+    Di, Dj, f = shapes
+    rng = np.random.default_rng(Di + Dj + f)
+    Xi = jnp.asarray(rng.normal(size=(Di, f)))
+    Xj = jnp.asarray(rng.normal(size=(Dj, f)))
+    vi = jnp.asarray(rng.normal(size=Di))
+    vj = jnp.asarray(rng.normal(size=Dj))
+    kw = dict(same=False, degree=3, gamma=0.05, coef0=1.0)
+    oi_p, oj_p = pair_gram_contrib(KernelType.rbf, Xi, Xj, vi, vj,
+                                   interpret=True, bm=16, **kw)
+    oi_x, oj_x = pair_gram_contrib_xla(KernelType.rbf, Xi, Xj, vi, vj, **kw)
+    np.testing.assert_allclose(np.asarray(oi_p), np.asarray(oi_x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(oj_p), np.asarray(oj_x),
+                               rtol=1e-9, atol=1e-11)
