@@ -636,7 +636,7 @@ class CSVM:
         strategy applies at this density/packing, else ``None`` — the ONE
         selection policy shared by the single-chip and ring streaming
         learns (density pre-check, skew-robust packing, the half-dense
-        memory guard, the f64 Pallas gate)."""
+        and physical-memory guards, the f64 Pallas gate)."""
         from ..ops.sparse import TiledHybrid, streaming_stream_strategy
 
         f = csr.shape[1]
@@ -644,16 +644,41 @@ class CSVM:
         if streaming_stream_strategy(L_est, f) != "panel":
             return None
         th = TiledHybrid.from_csr(csr[:dept], dtype=self.dtype, pad_rows=D)
-        # memory guard: a packing at >= half the padded-dense size means
+        itemsize = jnp.dtype(self.dtype).itemsize
+        dense_bytes = D * th.tell.padded_features * itemsize
+        packed_bytes = (th.tell.vals.size * (itemsize + 4)  # value + int32 col
+                        + th.heavy.size * itemsize)
+        # memory guard 1: a packing at >= half the padded-dense size means
         # the data is not actually sparse enough (or is pathologically
         # skewed beyond the heavy-row spill) — the nnz-proportional gather
         # arm is the memory-safe choice
-        if th.cells > (D * th.tell.padded_features) // 2:
+        if 2 * packed_bytes > dense_bytes:
+            return None
+        # memory guard 2: the panel strategy's transient allocation peaks
+        # at ~4x padded-dense bytes on TPU (measured via memory_analysis:
+        # XLA keeps densified panels + bf16 splits + pallas operand
+        # buffers live across the pair sweep).  When that exceeds the
+        # chip's PHYSICAL memory the gather arm is the only strategy that
+        # actually runs; the budget knob alone cannot see this.
+        if 4 * dense_bytes > self._device_memory_bytes():
             return None
         use_pallas = (self.backend == BackendType.pallas
                       and jax.default_backend() == "tpu"
                       and self.dtype != jnp.float64)
         return th, use_pallas
+
+    @staticmethod
+    def _device_memory_bytes() -> int:
+        """Physical per-device memory; generous fallback when the backend
+        does not report it (CPU hosts)."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = int(stats.get("bytes_limit", 0)) if stats else 0
+            if limit > 0:
+                return limit
+        except Exception:
+            pass
+        return 1 << 40  # no reported limit: treat as ample (host RAM)
 
     def _reject_chunk_flags_on_sparse(self):
         """Sparse learns cannot chunk CG for checkpoints / per-iteration

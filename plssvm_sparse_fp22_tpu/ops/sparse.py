@@ -383,8 +383,15 @@ def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
     ``heavy_sq_vec`` (host-precomputed, zero at light rows) completes the
     squared norms.
 
-    Memory: O(rows * ntiles * Lt + h * f) resident + O(panel_rows * f)
-    transient.  Returns ``(matvec, sq)``.
+    Memory: O(rows * ntiles * Lt + h * f) resident.  Transients: XLA
+    schedules the unrolled pair sweep for speed and keeps densified
+    panels + bf16 splits + kernel operand buffers live — measured peak
+    temp ~2.5-4x the padded-dense bytes (memory_analysis on v5e).  A
+    lax.scan variant that provably bounds liveness to ~2 panels was
+    measured 4x slower (per-pair re-densify, no cross-pair reuse) and
+    rejected; instead :meth:`CSVM._plan_sparse_panel` guards panel
+    eligibility against the chip's PHYSICAL memory and routes to the
+    nnz-proportional gather arm beyond it.  Returns ``(matvec, sq)``.
     """
     from ..types import KernelType
     from .pallas_matvec import pair_gram_contrib, pair_gram_contrib_xla

@@ -591,21 +591,19 @@ class TestTiledHybridSkew:
                                    rtol=1e-5, atol=1e-6)
 
     def test_dense_ish_data_falls_back_to_gather(self, monkeypatch):
-        """Data too dense for the tiled packing (cells >= half the padded
-        dense size) routes to the memory-safe gather arm instead."""
-        from plssvm_sparse_fp22_tpu.ops.sparse import TiledHybrid
-
+        """Data too dense for the tiled packing (packed bytes >= half the
+        padded-dense bytes) routes to the memory-safe gather arm."""
         rng = np.random.default_rng(5)
         csr = sp.random(96, 256, density=0.9, format="csr", random_state=rng,
                         data_rvs=lambda k: rng.normal(size=k))
-        th = TiledHybrid.from_csr(csr, dtype=np.float64)
-        assert th.cells > (96 * th.tell.padded_features) // 2
+        y = np.where(rng.normal(size=96) > 0, 1.0, -1.0)
+        svm = pt.CSVM(_make_params(csr, y, KernelType.rbf, sparse=True))
+        # the selection policy itself must refuse the panel strategy...
+        assert svm._plan_sparse_panel(csr, 95, 96) is None
+        # ...and the learn still runs (gather arm)
         monkeypatch.setenv("PLSSVM_SPARSE_MODE", "implicit")
-        svm = pt.CSVM(_make_params(csr, y=np.where(
-            rng.normal(size=96) > 0, 1.0, -1.0), kernel=KernelType.rbf,
-            sparse=True))
         svm.print_info = False
-        svm.learn()  # gather arm; just must run within memory
+        svm.learn()
         assert svm.last_cg_info["mode"] == "sparse_implicit"
 
 
