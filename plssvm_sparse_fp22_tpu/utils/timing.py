@@ -77,8 +77,16 @@ def slope_rate(run, lo: int, hi: int, trials: int = 5,
             call(0, hi)  # warm any fresh dispatch path
     samples = []
     for trial in range(trials):
-        t_lo, k_lo = call(100 + trial, lo)
-        t_hi, k_hi = call(200 + trial, hi)
+        # alternate the call order: monotone dispatch-latency drift (e.g.
+        # a draining relay queue) then biases half the trials each way and
+        # the median stays honest (a one-way order once produced a 5x-high
+        # headline when every lo-call landed on the slow side of a drift)
+        if trial % 2:
+            t_hi, k_hi = call(200 + trial, hi)
+            t_lo, k_lo = call(100 + trial, lo)
+        else:
+            t_lo, k_lo = call(100 + trial, lo)
+            t_hi, k_hi = call(200 + trial, hi)
         if t_hi > t_lo and k_hi > k_lo:
             samples.append((t_hi - t_lo) / (k_hi - k_lo))
     if not samples:
