@@ -33,7 +33,7 @@ from ..io.model import write_model_file
 from ..ops.kernel_functions import PRECISION, gram_block, kernel_scalar
 from ..ops.matvec import build_operator, choose_mode, jacobi_minv as _jacobi_minv
 from ..params import Parameter
-from ..solver.cg import CGState, cg_init, cg_run, cg_solve
+from ..solver.cg import cg_init, cg_run, cg_solve
 from ..types import BackendType, KernelType
 
 

@@ -21,11 +21,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.kernel_functions import PRECISION
 from ..ops.matvec import _corrections
-from ..ops.sparse import ELLMatrix, ell_matvec, ell_rmatvec
+from ..ops.sparse import ELLMatrix
 from ..solver.cg import cg_solve
 from ..types import KernelType
 

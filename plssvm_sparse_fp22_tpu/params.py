@@ -15,7 +15,7 @@ to ``basename(input) + ".model"`` and ``predict_filename`` to
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
