@@ -81,6 +81,7 @@ def _make_dense_runner(X, gamma, kernel_name, mode, backend_name):
     import jax
     import jax.numpy as jnp
     from plssvm_sparse_fp22_tpu.models.base import _learn_jit
+    from plssvm_sparse_fp22_tpu.ops.matvec import resolve_mxu_plan
     from plssvm_sparse_fp22_tpu.types import BackendType, KernelType
 
     n, f = X.shape
@@ -94,8 +95,13 @@ def _make_dense_runner(X, gamma, kernel_name, mode, backend_name):
     mask = np.zeros(D, dtype=dtype)
     mask[:dept] = 1.0
 
+    # the product's MXU plan: adaptive (fast tier + escalation) by default
+    # on TPU — eps=0 pins every benchmark iteration to the fast tier, which
+    # is the tier convergent solves actually run (escalation is the
+    # ill-conditioned safety net; see `adaptive` in the output)
     kw = dict(kernel=KernelType.from_string(kernel_name), degree=3, mode=mode,
-              backend=BackendType.from_string(backend_name))
+              backend=BackendType.from_string(backend_name),
+              mxu_plan=resolve_mxu_plan(mode, dtype))
     X_dev = jnp.asarray(X_pad)
     xl_dev = jnp.asarray(X[-1].astype(dtype))
     mask_dev = jnp.asarray(mask)
@@ -275,7 +281,7 @@ def _time_to_tolerance(n, f, backend_name):
     t0 = time.perf_counter()
     svm.learn()
     seconds = time.perf_counter() - t0
-    return {
+    out = {
         "seconds": round(seconds, 4),
         "iterations": svm.last_cg_info["iterations"],
         "converged": svm.last_cg_info["delta"]
@@ -283,19 +289,32 @@ def _time_to_tolerance(n, f, backend_name):
         "mode": svm.last_cg_info["mode"],
         "train_accuracy_pct": round(100.0 * svm.accuracy(), 2),
     }
+    if "fast_iterations" in svm.last_cg_info:
+        # adaptive two-tier CG: how many iterations the fast tier carried
+        out["fast_iterations"] = svm.last_cg_info["fast_iterations"]
+        out["escalated"] = svm.last_cg_info["escalated"]
+    return out
 
 
-def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops):
-    """Roofline position of the symmetric Pallas implicit matvec: hardware
-    MXU FLOP/s (3-pass split-bf16 over lower-triangular block pairs, the
-    tier the headline runs) vs the chip's dense bf16 peak, plus the useful
-    (algorithmic f32) FLOP fraction 2*dept^2*f."""
+def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops, tier=None):
+    """Roofline position of the symmetric Pallas implicit matvec at the MXU
+    tier the headline actually ran (``default`` 1-pass bf16, ``high``
+    3-pass split-bf16, ``highest`` 6-pass exact f32) vs the chip's dense
+    bf16 peak, plus the useful-FLOP fraction ``2*dept^2*f`` (defined as one
+    EXACT f32 Gram matvec — on sub-exact tiers useful_mfu measures the
+    exact-equivalent work rate, the honest cross-tier comparable)."""
     from jax import lax
     from plssvm_sparse_fp22_tpu.constants import FEATURE_BLOCK_SIZE
     from plssvm_sparse_fp22_tpu.ops.pallas_matvec import (
         PALLAS_PRECISION, _effective_sym_blocks, symmetric_enabled)
 
-    if not symmetric_enabled() or PALLAS_PRECISION != lax.Precision.HIGH:
+    if not symmetric_enabled():
+        return None
+    if tier is None:
+        tier = {lax.Precision.HIGH: "high", lax.Precision.DEFAULT: "default",
+                lax.Precision.HIGHEST: "highest"}.get(PALLAS_PRECISION)
+    passes = {"default": 1, "high": 3, "highest": 6}.get(tier)
+    if passes is None:
         return None
     # the kernel's own block policy (incl. the VMEM guard) — duplicating
     # the choice here misstated hw FLOPs for wide features (advisor r3)
@@ -304,11 +323,12 @@ def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops):
     fp = _round_up(_round_up(f, 128), min(bk, _round_up(f, 128)))
     nI = Dp // bm
     T = nI * (nI + 1) // 2
-    hw_flops = 3 * 2 * T * bm * bm * fp          # 3 bf16 passes, triangular
+    hw_flops = passes * 2 * T * bm * bm * fp     # MXU passes, triangular
     useful_flops = 2 * dept ** 2 * f             # one exact Gram matvec
-    hbm_bytes = T * 2 * bm * fp * 2 * 2          # hi+lo bf16 blocks per pair
+    hbm_bytes = T * 2 * bm * fp * 4              # 4 B/element either tier
     out = {
         "sym_block": bm,
+        "mxu_tier": tier,
         "hw_tflops": hw_flops * iters_per_s / 1e12,
         "useful_tflops": useful_flops * iters_per_s / 1e12,
     }
@@ -542,7 +562,11 @@ def main():
 
         roofline = {}
         if on_tpu and mode == "implicit":
-            imp = _implicit_roofline(D, n - 1, f, value, peak_tflops)
+            from plssvm_sparse_fp22_tpu.ops.matvec import resolve_mxu_plan
+
+            plan = resolve_mxu_plan(mode, np.float32)
+            imp = _implicit_roofline(D, n - 1, f, value, peak_tflops,
+                                     tier=plan[0] if plan else None)
             if imp:
                 roofline["implicit_sym"] = {
                     k: round(v, 4) if isinstance(v, float) else v

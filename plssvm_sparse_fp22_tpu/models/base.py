@@ -41,11 +41,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
+@partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend",
+                                   "precond", "mxu_plan"))
 def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
                *, kernel: KernelType, degree: int, mode: str, backend: BackendType,
-               precond: str = "none"):
-    """One traced program: q-vector + QA_cost + operator + full CG solve."""
+               precond: str = "none", mxu_plan: tuple | None = None):
+    """One traced program: q-vector + QA_cost + operator + full CG solve.
+
+    ``mxu_plan = (fast_tier, acc_tier)`` enables the adaptive two-tier CG
+    (``ops/matvec.resolve_mxu_plan``): the solve starts on the fast tier
+    and escalates on stagnation / a failed accurate-tier residual check.
+    The 8th output is the fast-tier iteration count (== iterations when no
+    escalation happened; == iterations trivially on the fixed path)."""
     dtype = X_pad.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
 
@@ -54,19 +61,35 @@ def _learn_jit(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax,
     # QA_cost = k(x_last, x_last) + 1/C  (csvm.cpp:243)
     QA_cost = kernel_scalar(kernel, x_last, x_last, degree, gamma, coef0) + cost_inv
 
-    op = build_operator(
-        kernel, X_pad, q, mask, QA_cost, cost_inv,
-        degree=degree, gamma=gamma, coef0=coef0, mode=mode, backend=backend,
-    )
     minv = None
     if precond == "jacobi":
         minv = _jacobi_minv(kernel, X_pad, q, mask, QA_cost, cost_inv,
                             degree, gamma, coef0)
-    res = cg_solve(op.matvec, b_pad, mask, eps, imax, minv=minv)
+
+    def make_op(prec):
+        return build_operator(
+            kernel, X_pad, q, mask, QA_cost, cost_inv,
+            degree=degree, gamma=gamma, coef0=coef0, mode=mode,
+            backend=backend, precision=prec,
+        )
+
+    if mxu_plan is None:
+        res = cg_solve(make_op(None).matvec, b_pad, mask, eps, imax, minv=minv)
+        k_fast = res.iterations
+    else:
+        from ..ops.matvec import tier_precision
+        from ..solver.cg import cg_solve_adaptive
+
+        res = cg_solve_adaptive(
+            make_op(tier_precision(mxu_plan[0])).matvec,
+            make_op(tier_precision(mxu_plan[1])).matvec,
+            b_pad, mask, eps, imax, minv=minv,
+        )
+        k_fast = res.fast_iterations
 
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
-    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0, k_fast
 
 
 @partial(jax.jit, static_argnames=("kernel", "degree", "mode", "backend", "precond"))
@@ -258,7 +281,7 @@ class CSVM:
             D = _round_up(dept, max(PAD_SIZE, ROW_BLOCK_SIZE))
             b_pad, mask = self._padded_vectors(D, dept, y)
             mode, out = self._learn_dense(D, dept, f, b_pad, mask, imax)
-        x, s, t, QA_cost, iters, delta, delta0 = out
+        x, s, t, QA_cost, iters, delta, delta0, *extra = out
         x = np.asarray(x, np.float64)
         D = len(x)  # padded system size (strategy-dependent alignment)
         x = x[:dept]
@@ -278,6 +301,11 @@ class CSVM:
             "dept": dept,
             "padded": D,
         }
+        if extra:
+            # adaptive two-tier CG: iterations spent on the fast MXU tier
+            # before (possible) escalation to the accurate tier
+            self.last_cg_info["fast_iterations"] = int(extra[0])
+            self.last_cg_info["escalated"] = int(iters) > int(extra[0])
 
         if self.print_info:
             elapsed = (time.perf_counter() - start) * 1000.0
@@ -476,6 +504,8 @@ class CSVM:
         return q, QA_cost, state
 
     def _learn_dense(self, D, dept, f, b_pad, mask, imax):
+        from ..ops.matvec import resolve_mxu_plan
+
         X = self.data.dense
         X_pad = np.zeros((D, f), dtype=self.dtype)
         X_pad[:dept] = X[:dept]
@@ -483,6 +513,8 @@ class CSVM:
         mode = choose_mode(self.kernel, dept, self.dtype,
                            num_features=f, backend=self.backend)
         if self.params.checkpoint_path is not None or self.params.verbose_cg:
+            # the chunked driver runs the fixed tier (checkpoint states stay
+            # tier-independent; the adaptive solve is a single-jit property)
             return self._learn_dense_checkpointed(
                 X_pad, x_last, b_pad, mask, imax, mode, dept
             )
@@ -493,6 +525,7 @@ class CSVM:
             jnp.asarray(imax, jnp.int32),
             kernel=self.kernel, degree=self.degree, mode=mode, backend=self.backend,
             precond=str(self.params.precond),
+            mxu_plan=resolve_mxu_plan(mode, self.dtype),
         )
         return mode, out
 
@@ -755,6 +788,8 @@ class CSVM:
             # unaffordable here by construction; build_operator routes f64
             # implicit to the blocked XLA path (exact f64 via TPU XLA
             # emulation) instead of the Pallas kernel, which rejects f64
+            from ..ops.matvec import resolve_mxu_plan
+
             X_pad = np.zeros((D, f), dtype=self.dtype)
             X_pad[:dept] = csr[:dept].toarray()
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
@@ -764,6 +799,7 @@ class CSVM:
                 jnp.asarray(self.coef0, self.dtype), *common,
                 kernel=self.kernel, degree=self.degree, mode="implicit",
                 backend=self.backend, precond=precond,
+                mxu_plan=resolve_mxu_plan("implicit", self.dtype),
             )
             return "sparse_dense_implicit", out
         if sparse_mode == "implicit" or (sparse_mode != "gram" and not gram_fits):

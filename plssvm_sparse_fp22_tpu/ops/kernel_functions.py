@@ -85,13 +85,17 @@ def gram_block(
     coef0=0.0,
     Xi_sqnorm=None,
     Xj_sqnorm=None,
+    precision=None,
 ):
     """K[a, b] = k(Xi[a], Xj[b]) for row blocks Xi (m, f), Xj (n, f).
 
     One MXU GEMM plus a fused element-wise epilogue.  For RBF, pass
     precomputed squared norms to avoid recomputing them per block.
+    ``precision`` overrides the module default MXU tier (used by the
+    adaptive CG solve, which runs the same block at two tiers).
     """
-    G = jnp.dot(Xi, Xj.T, preferred_element_type=Xi.dtype, precision=PRECISION)
+    G = jnp.dot(Xi, Xj.T, preferred_element_type=Xi.dtype,
+                precision=PRECISION if precision is None else precision)
     if kernel == KernelType.linear:
         return G
     if kernel == KernelType.polynomial:

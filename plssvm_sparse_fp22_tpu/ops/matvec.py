@@ -70,6 +70,47 @@ def _implicit_feature_cutoff() -> int:
     return 320 if symmetric_enabled() else 160
 
 
+#: precision-tier names accepted by the adaptive plan / overrides
+_TIER_PRECISION = {
+    "default": lax.Precision.DEFAULT,   # 1-pass bf16 MXU products
+    "high": lax.Precision.HIGH,         # 3-pass split-bf16 (f32-grade)
+    "highest": lax.Precision.HIGHEST,   # exact f32 (6-pass emulation)
+}
+
+
+def tier_precision(name: str):
+    """Map a tier name to its ``lax.Precision``."""
+    return _TIER_PRECISION[name]
+
+
+def resolve_mxu_plan(mode: str, dtype) -> tuple[str, str] | None:
+    """Adaptive MXU-precision plan for a learn: ``(fast_tier, acc_tier)``
+    when the adaptive two-tier CG applies, else ``None`` (fixed tier).
+
+    Adaptive is the default on TPU for f32 systems whose per-iteration cost
+    is MXU-pass-bound (the ``implicit`` and ``linear`` matvec modes): CG
+    starts on 1-pass bf16 products and escalates to the 3-pass split-bf16
+    tier only if the accurate-tier residual misses the target
+    (``solver/cg.cg_solve_adaptive``).  The measured frontier
+    (docs/PERF.md) shows the fast tier converging identically across the
+    corpus at 1.6-3x the throughput; the escalation is the safety net.
+
+    ``PLSSVM_MATMUL_PRECISION`` set to a fixed tier (``highest``/``high``/
+    ``default``) disables the plan (today's pinned behavior);
+    ``adaptive`` forces the plan even off-TPU (tests).  ``cached`` mode is
+    HBM-bound (precision only touches the one-time K assembly) and f64
+    needs exact products, so neither takes the plan.
+    """
+    name = os.environ.get("PLSSVM_MATMUL_PRECISION", "").lower()
+    if name not in ("", "adaptive"):
+        return None  # explicitly pinned tier
+    if jnp.dtype(dtype) != jnp.float32 or mode not in ("implicit", "linear"):
+        return None
+    if name != "adaptive" and jax.default_backend() != "tpu":
+        return None  # CPU/GPU XLA f32 dots are exact: nothing to adapt
+    return ("default", "high")
+
+
 def choose_mode(kernel: KernelType, dept: int, dtype,
                 num_features: int | None = None,
                 backend: BackendType | None = None,
@@ -160,8 +201,14 @@ def build_operator(
     mode: str | None = None,
     backend: BackendType = BackendType.xla,
     row_block: int = ROW_BLOCK_SIZE,
+    precision=None,
 ) -> MatvecOperator:
-    """Construct the implicit-A matvec for the padded system."""
+    """Construct the implicit-A matvec for the padded system.
+
+    ``precision`` overrides the MXU tier of the per-iteration Gram products
+    (``linear``/``implicit`` modes; the adaptive CG builds the same
+    operator at two tiers).  ``None`` keeps the module defaults
+    (``PLSSVM_MATMUL_PRECISION``)."""
     from ..utils.assertions import plssvm_assert
 
     D, _ = X_pad.shape
@@ -176,14 +223,16 @@ def build_operator(
         mode = choose_mode(kernel, dept, dtype,
                            num_features=X_pad.shape[1], backend=backend)
 
+    gemm_prec = PRECISION if precision is None else precision
+
     if mode == "linear":
         if kernel != KernelType.linear:
             raise ValueError("mode='linear' requires the linear kernel")
 
         def matvec(v):
             # K v = X (X^T v): two GEMMs, never materializes K
-            u = jnp.dot(X_pad.T, v, preferred_element_type=dtype, precision=PRECISION)
-            Kv = jnp.dot(X_pad, u, preferred_element_type=dtype, precision=PRECISION)
+            u = jnp.dot(X_pad.T, v, preferred_element_type=dtype, precision=gemm_prec)
+            Kv = jnp.dot(X_pad, u, preferred_element_type=dtype, precision=gemm_prec)
             return _corrections(Kv, v, q, mask, QA_cost, cost_inv)
 
     elif mode == "cached":
@@ -208,11 +257,12 @@ def build_operator(
             dtype == jnp.float64 and _jax.default_backend() == "tpu"
         )
         if use_pallas_impl:
-            from .pallas_matvec import (gram_matvec_pallas, make_sym_matvec,
-                                        symmetric_enabled)
+            from .pallas_matvec import (PALLAS_PRECISION, gram_matvec_pallas,
+                                        make_sym_matvec, symmetric_enabled)
 
             # Mosaic kernels need real TPU hardware; interpret elsewhere
             interpret = _jax.default_backend() != "tpu"
+            pallas_prec = PALLAS_PRECISION if precision is None else precision
 
             if symmetric_enabled():
                 # symmetric (triangular block-pair) kernel: ~2x fewer MXU
@@ -221,13 +271,14 @@ def build_operator(
                 # sqnorms are hoisted out of the CG loop.
                 kv_fn = make_sym_matvec(
                     kernel, X_pad, degree=degree, gamma=gamma, coef0=coef0,
-                    interpret=interpret,
+                    interpret=interpret, precision=pallas_prec,
                 )
             else:
                 def kv_fn(v):
                     return gram_matvec_pallas(
                         kernel, X_pad, v, degree=degree, gamma=gamma,
                         coef0=coef0, interpret=interpret,
+                        precision=pallas_prec,
                     )
 
             def matvec(v):
@@ -247,6 +298,7 @@ def build_operator(
                     Kblk = gram_block(
                         kernel, Xi, X_pad, degree, gamma, coef0,
                         Xi_sqnorm=sq_i, Xj_sqnorm=sqnorms,
+                        precision=precision,
                     )
                     return jnp.dot(Kblk, v, preferred_element_type=dtype, precision=PRECISION)
 

@@ -49,6 +49,18 @@ class CGState(NamedTuple):
     delta0: jnp.ndarray
 
 
+class AdaptiveCGResult(NamedTuple):
+    """:class:`CGResult` plus the fast-tier iteration count of the adaptive
+    two-tier solve (``fast_iterations == iterations`` means the accurate
+    tier was never entered)."""
+
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    delta: jnp.ndarray
+    delta0: jnp.ndarray
+    fast_iterations: jnp.ndarray
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype, precision=PRECISION)
 
@@ -161,3 +173,151 @@ def cg_run(
                        delta0=s.delta0)
 
     return lax.while_loop(cond, body, state)
+
+
+#: iterations without a >=10% residual improvement before the adaptive solve
+#: declares the fast MXU tier stagnated (PLSSVM_CG_STAG_PATIENCE overrides)
+STAGNATION_PATIENCE: int = 8
+
+
+def cg_run_stagnation(
+    matvec: Callable,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps,
+    imax,
+    state: CGState,
+    *,
+    patience: int = STAGNATION_PATIENCE,
+    refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
+    minv: jnp.ndarray | None = None,
+    dot: Callable = _dot,
+) -> CGState:
+    """:func:`cg_run` with a stagnation exit: the loop also stops when the
+    residual norm has not improved on its best-seen value by at least 10%
+    for ``patience`` consecutive iterations — the signature of a matvec
+    whose error floor (e.g. 1-pass bf16 MXU products) sits above the
+    requested tolerance.  The detector is armed only when the convergence
+    target is positive; ``eps = 0`` (pinned-iteration mode, used by the
+    benchmarks) runs exactly like :func:`cg_run`.
+
+    The caller distinguishes the exits by inspecting the returned state:
+    ``delta <= eps^2 * delta0`` converged, ``k >= imax`` exhausted,
+    anything else stagnated.
+    """
+    dtype = b.dtype
+    eps = jnp.asarray(eps, dtype)
+    imax = jnp.asarray(imax, jnp.int32)
+    target = eps * eps * state.delta0
+    armed = target > 0
+
+    def cond(carry):
+        s, best, since = carry
+        return jnp.logical_and(
+            jnp.logical_and(s.k < imax, s.delta > target),
+            jnp.logical_not(jnp.logical_and(armed, since >= patience)),
+        )
+
+    def body(carry):
+        s, best, since = carry
+        Ad = matvec(s.d)
+        rz = s.delta if minv is None else dot(s.r, minv * s.r)
+        alpha = rz / dot(s.d, Ad)
+        x = s.x + alpha * s.d
+
+        def refresh(_):
+            return b - matvec(x)
+
+        def update(_):
+            return s.r - alpha * Ad
+
+        r_new = lax.cond(
+            s.k % refresh_interval == refresh_interval - 1, refresh, update, None
+        )
+        delta_new = dot(r_new, r_new)
+        if minv is None:
+            beta = delta_new / s.delta
+            d_new = beta * s.d + r_new
+        else:
+            z_new = minv * r_new
+            beta = dot(r_new, z_new) / rz
+            d_new = beta * s.d + z_new
+        improved = delta_new < 0.9 * best
+        best = jnp.minimum(best, delta_new)
+        since = jnp.where(improved, 0, since + 1)
+        return (
+            CGState(k=s.k + 1, x=x, r=r_new, d=d_new, delta=delta_new,
+                    delta0=s.delta0),
+            best,
+            since,
+        )
+
+    carry = (state, state.delta, jnp.int32(0))
+    state, _best, _since = lax.while_loop(cond, body, carry)
+    return state
+
+
+def cg_solve_adaptive(
+    matvec_fast: Callable,
+    matvec_acc: Callable,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps,
+    imax,
+    *,
+    patience: int = STAGNATION_PATIENCE,
+    refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
+    minv: jnp.ndarray | None = None,
+    dot: Callable = _dot,
+) -> AdaptiveCGResult:
+    """Two-tier adaptive solve: run CG on the cheap ``matvec_fast`` (1-pass
+    bf16 MXU products) until it converges, stagnates, or exhausts ``imax``;
+    then verify the residual with ``matvec_acc`` (f32-grade 3-pass
+    split-bf16) and, if the target is not actually met, continue CG from
+    the current iterate on the accurate tier.
+
+    The verification makes the convergence contract independent of the fast
+    tier's error floor: a returned ``delta <= eps^2 * delta0`` is always an
+    *accurate-tier* residual.  The TPU-native form of the reference's
+    fast-math trade (``OpenCL/detail/utility.cpp:287``) with a safety net
+    the reference does not have.
+
+    ``eps = 0`` pins the iteration count on the fast tier (stagnation and
+    escalation both disarm — there is no target to reach), preserving the
+    fixed-iteration benchmark semantics of :func:`cg_solve`.
+    """
+    from ..utils.assertions import plssvm_assert
+
+    plssvm_assert(b.shape == mask.shape,
+                  "CG system vectors disagree: b {} vs mask {}", b.shape, mask.shape)
+    dtype = b.dtype
+    eps = jnp.asarray(eps, dtype)
+    imax = jnp.asarray(imax, jnp.int32)
+
+    state = cg_init(matvec_fast, b, mask, minv, dot)
+    state = cg_run_stagnation(
+        matvec_fast, b, mask, eps, imax, state,
+        patience=patience, refresh_interval=refresh_interval, minv=minv, dot=dot,
+    )
+    k_fast = state.k
+    target = eps * eps * state.delta0
+
+    # accurate-tier residual at the fast iterate (one matvec — noise next to
+    # the solve; with eps = 0 it is skipped and the fast recurrence is kept)
+    def verify(s: CGState) -> CGState:
+        r = b - matvec_acc(s.x)
+        d = r if minv is None else minv * r
+        return CGState(k=s.k, x=s.x, r=r, d=d, delta=dot(r, r), delta0=s.delta0)
+
+    armed = target > 0
+    state = lax.cond(armed, verify, lambda s: s, state)
+
+    def escalate(s: CGState) -> CGState:
+        return cg_run(matvec_acc, b, mask, eps, imax, s,
+                      refresh_interval=refresh_interval, minv=minv, dot=dot)
+
+    need = jnp.logical_and(armed,
+                           jnp.logical_and(state.delta > target, state.k < imax))
+    state = lax.cond(need, escalate, lambda s: s, state)
+    return AdaptiveCGResult(x=state.x, iterations=state.k, delta=state.delta,
+                            delta0=state.delta0, fast_iterations=k_fast)
