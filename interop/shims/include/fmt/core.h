@@ -50,11 +50,21 @@ inline const char *duration_suffix() {
     return "";
 }
 
+// Unrecognized specs throw instead of silently falling back to the default
+// formatting: if a reference upstream ever grows a new spec (say "{:.10e}"),
+// a shim-built reference must fail LOUDLY rather than produce text that
+// differs from a genuine-fmt build (advisor r4).
+[[noreturn]] inline void unsupported_spec(std::string_view spec) {
+    throw std::runtime_error("fmt shim: unsupported format spec '" +
+                             std::string(spec) + "'");
+}
+
 // format one value under a (possibly empty) spec such as "", "e", "02x"
 template <typename T>
 std::string format_value(const T &value, std::string_view spec) {
     using D = std::decay_t<T>;
     if constexpr (std::is_same_v<D, bool>) {
+        if (!spec.empty()) unsupported_spec(spec);
         return value ? "true" : "false";
     } else if constexpr (std::is_floating_point_v<D>) {
         char buf[64];
@@ -62,6 +72,7 @@ std::string format_value(const T &value, std::string_view spec) {
             std::snprintf(buf, sizeof(buf), "%e", static_cast<double>(value));
             return buf;
         }
+        if (!spec.empty()) unsupported_spec(spec);
         auto res = std::to_chars(buf, buf + sizeof(buf),
                                  static_cast<double>(value));
         return std::string(buf, res.ptr);
@@ -72,14 +83,18 @@ std::string format_value(const T &value, std::string_view spec) {
                           static_cast<unsigned>(value));
             return buf;
         }
+        if (!spec.empty()) unsupported_spec(spec);
         auto res = std::to_chars(buf, buf + sizeof(buf), value);
         return std::string(buf, res.ptr);
     } else if constexpr (std::is_convertible_v<D, std::string_view>) {
+        if (!spec.empty()) unsupported_spec(spec);
         return std::string(std::string_view(value));
     } else if constexpr (is_duration<D>::value) {
+        if (!spec.empty()) unsupported_spec(spec);
         return format_value(value.count(), "") +
                duration_suffix<typename D::period>();
     } else if constexpr (is_streamable<D>::value) {
+        if (!spec.empty()) unsupported_spec(spec);
         std::ostringstream os;
         os << value;
         return os.str();

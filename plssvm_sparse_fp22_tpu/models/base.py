@@ -367,16 +367,13 @@ class CSVM:
         is so wide that each chip's feature slice still exceeds the system
         size (``f/ndev > D``) — then the feature split (the reference's own
         decomposition) wins on comms volume.  ``PLSSVM_SHARD_AXIS`` forces
-        ``rows``/``features``.  The feature path has no chunked-CG variant;
-        checkpoint/verbose configs stay on rows (or fail loudly when
-        forced)."""
+        ``rows``/``features``.  Both axes support the full feature set
+        (chunked CG for checkpoint/verbose included, VERDICT r4 #8)."""
         axis = os.environ.get("PLSSVM_SHARD_AXIS", "auto")
         if axis not in ("auto", "rows", "features"):
             raise PLSSVMError(
                 f"Invalid PLSSVM_SHARD_AXIS '{axis}' "
                 "(expected auto, rows, or features)")
-        if self.params.checkpoint_path is not None or self.params.verbose_cg:
-            return "rows" if axis != "features" else "features"
         if axis != "auto":
             return axis
         return "features" if f // ndev > dept else "rows"
@@ -387,12 +384,9 @@ class CSVM:
         generalization of the reference's ``feature_ranges_`` split."""
         from ..constants import ROW_BLOCK_SIZE as _RBS
         from ..parallel.sharded import (make_feature_sharded_learn,
+                                        make_feature_sharded_learn_fns,
                                         shard_system_feature)
 
-        if self.params.checkpoint_path is not None or self.params.verbose_cg:
-            raise PLSSVMError(
-                "--checkpoint/--verbose_cg are not supported on the "
-                "feature-sharded learn path; set PLSSVM_SHARD_AXIS=rows")
         D = _round_up(dept, max(PAD_SIZE, _RBS))
         b_pad, mask = self._padded_vectors(D, dept, y)
         fp = _round_up(f, ndev)
@@ -403,15 +397,37 @@ class CSVM:
         x_last[:f] = X[-1]
         mesh = self._mesh(ndev)
         Xs, xl, bs, ms = shard_system_feature(mesh, X_pad, x_last, b_pad, mask)
+        precond = str(self.params.precond)
+        mode_name = f"sharded_feature[{ndev}]"
+
+        if self.params.checkpoint_path is not None or self.params.verbose_cg:
+            setup_jit, chunk_jit = make_feature_sharded_learn_fns(
+                mesh, self.kernel, self.degree, precond=precond)
+            scalars = self._scalar_args()
+            eps = jnp.asarray(self.epsilon, self.dtype)
+
+            def setup():
+                return setup_jit(Xs, xl, bs, ms, *scalars)
+
+            def chunk(q, QA_cost, imax_end, state):
+                return chunk_jit(Xs, bs, ms, xl, *scalars, eps,
+                                 jnp.asarray(imax_end, jnp.int32), state)
+
+            q, QA_cost, state = self._drive_chunked_cg(setup, chunk, imax, dept)
+            x_np = np.asarray(state.x, np.float64)
+            s = x_np.sum()
+            t = np.asarray(q, np.float64) @ x_np
+            return mode_name, (state.x, s, t, QA_cost, state.k, state.delta,
+                               state.delta0)
+
         learn = make_feature_sharded_learn(
-            mesh, self.kernel, self.degree,
-            precond=str(self.params.precond))
+            mesh, self.kernel, self.degree, precond=precond)
         out = learn(
             Xs, xl, bs, ms, *self._scalar_args(),
             jnp.asarray(self.epsilon, self.dtype),
             jnp.asarray(imax, jnp.int32),
         )
-        return f"sharded_feature[{ndev}]", out
+        return mode_name, out
 
     def _learn_dense_sharded(self, dept, f, y, imax, ndev):
         """Row-sharded multi-chip learn (``parallel/sharded.py``): zero new
@@ -631,9 +647,9 @@ class CSVM:
             jnp.asarray(imax, jnp.int32),
         )
         D = _round_up(dept, PAD_SIZE * ndev)
-        plan = self._plan_sparse_panel(csr, dept, D)
+        plan = self._plan_sparse_panel(csr, dept, D, ndev=ndev)
         if plan is not None:
-            th, use_pallas = plan
+            th, use_pallas, _sweep = plan
             # moderate density: tiled slabs ring the mesh; per hop both
             # sides densify scatter-free into budget-sized panels and run
             # the fused Pallas Gram-matvec — the dense-ring hop at MXU rate
@@ -664,13 +680,20 @@ class CSVM:
         out = learn(*args[:5], jnp.asarray(x_last), *args[5:], *scalars)
         return f"sharded_sparse_implicit[{ndev}]", out
 
-    def _plan_sparse_panel(self, csr, dept, D):
-        """``(TiledHybrid, use_pallas)`` when the streaming ``panel``
+    def _plan_sparse_panel(self, csr, dept, D, ndev: int = 1):
+        """``(TiledHybrid, use_pallas, sweep)`` when the streaming ``panel``
         strategy applies at this density/packing, else ``None`` — the ONE
         selection policy shared by the single-chip and ring streaming
         learns (density pre-check, skew-robust packing, the half-dense
-        and physical-memory guards, the f64 Pallas gate)."""
-        from ..ops.sparse import TiledHybrid, streaming_stream_strategy
+        guard, the sweep-schedule choice with its memory envelope, the
+        f64 Pallas gate).
+
+        ``ndev > 1`` plans for the ring-sharded learn, where each chip
+        holds and densifies only a ``1/ndev`` slab — the guards scale to
+        per-shard bytes (advisor r4: the unscaled guard refused the
+        MXU-rate ring ~ndev times too early)."""
+        from ..ops.sparse import (TiledHybrid, panel_sweep_strategy,
+                                  streaming_stream_strategy)
 
         f = csr.shape[1]
         L_est = max(1, -(-int(csr.indptr[dept]) // max(1, dept)))
@@ -687,18 +710,37 @@ class CSVM:
         # arm is the memory-safe choice
         if 2 * packed_bytes > dense_bytes:
             return None
-        # memory guard 2: the panel strategy's transient allocation peaks
-        # at ~4x padded-dense bytes on TPU (measured via memory_analysis:
-        # XLA keeps densified panels + bf16 splits + pallas operand
-        # buffers live across the pair sweep).  When that exceeds the
-        # chip's PHYSICAL memory the gather arm is the only strategy that
-        # actually runs; the budget knob alone cannot see this.
-        if 4 * dense_bytes > self._device_memory_bytes():
-            return None
+        physical = self._device_memory_bytes()
+        if ndev > 1:
+            # ring-sharded: per chip, the resident slab is packed/ndev and
+            # the hop sweep keeps the hoisted local panels (dense/ndev) +
+            # in-flight transients live — the measured ~4x-dense envelope
+            # of the unrolled sweep, applied to the PER-SHARD slab
+            if 4 * dense_bytes // ndev > physical:
+                return None
+            sweep = "unrolled"  # the ring hop keeps the hoisted schedule
+        else:
+            # single chip: the fast unrolled sweep when its measured
+            # ~4x-dense transient envelope fits physical memory, else the
+            # bounded-liveness windowed sweep whose transient follows
+            # min(budget, physical/3) instead of the dense size — this is
+            # what serves the physically-beyond-HBM regime (BASELINE
+            # config 3; measured envelopes in docs/PERF.md).  Only the
+            # RESIDENT packing + that bounded window must then fit.
+            from ..ops.matvec import _k_cache_budget_bytes
+
+            sweep = panel_sweep_strategy(2, dense_bytes, physical)
+            if sweep == "unrolled":
+                if 4 * dense_bytes > physical:
+                    return None  # forced-unrolled beyond its envelope
+            else:
+                eff_budget = min(_k_cache_budget_bytes(), physical // 3)
+                if packed_bytes + eff_budget > (9 * physical) // 10:
+                    return None
         use_pallas = (self.backend == BackendType.pallas
                       and jax.default_backend() == "tpu"
                       and self.dtype != jnp.float64)
-        return th, use_pallas
+        return th, use_pallas, sweep
 
     @staticmethod
     def _device_memory_bytes() -> int:
@@ -810,13 +852,17 @@ class CSVM:
             x_last = np.asarray(csr[-1].todense()).ravel().astype(self.dtype)
             plan = self._plan_sparse_panel(csr, dept, D)
             if plan is not None:
-                th, use_pallas = plan
+                th, use_pallas, sweep = plan
                 # moderate density: transient scatter-free densified panels
                 # on the fused Pallas pair kernel (MXU rate,
                 # O(n·tiles·Lt + h·f) resident memory) — VERDICT r3 #1
+                budget = _k_cache_budget_bytes()
+                if sweep == "windowed":
+                    # the windowed transient follows the budget; cap it so
+                    # panels + resident packing stay inside physical memory
+                    budget = min(budget, self._device_memory_bytes() // 3)
                 panel_rows = stream_panel_rows(
-                    D, th.tell.padded_features, itemsize,
-                    _k_cache_budget_bytes())
+                    D, th.tell.padded_features, itemsize, budget)
                 # heavy-row O(n)-vector contributions, host-precomputed
                 hs = np.zeros(D, dtype=self.dtype)
                 hg = np.zeros(D, dtype=self.dtype)
@@ -826,6 +872,8 @@ class CSVM:
                         hrows.multiply(hrows).sum(axis=1)).ravel()
                     hg[th.heavy_idx] = np.asarray(
                         (hrows @ csr[-1].T).todense()).ravel()
+                from ..ops.matvec import resolve_mxu_plan
+
                 out = learn_sparse_panel_jit(
                     th.tell.vals, th.tell.lcols, jnp.asarray(x_last),
                     jnp.asarray(b_pad), jnp.asarray(mask),
@@ -837,6 +885,8 @@ class CSVM:
                     use_pallas=use_pallas, heavy=th.heavy,
                     heavy_rows=tuple(int(r) for r in th.heavy_idx),
                     heavy_sq_vec=jnp.asarray(hs), heavy_g_vec=jnp.asarray(hg),
+                    mxu_plan=resolve_mxu_plan("implicit", self.dtype),
+                    sweep=sweep,
                 )
                 return "sparse_implicit", out
 

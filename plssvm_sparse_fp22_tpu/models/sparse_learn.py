@@ -70,30 +70,61 @@ def learn_sparse_linear_jit(vals, cols, coo_rows, coo_cols, coo_vals,
 
 @partial(jax.jit, static_argnames=(
     "kernel", "degree", "ntiles", "Lt", "panel_rows", "precond",
-    "use_pallas", "interpret", "heavy_rows"))
+    "use_pallas", "interpret", "heavy_rows", "mxu_plan", "sweep"))
 def learn_sparse_panel_jit(tvals, tlcols, x_last_dense, b_pad, mask,
                            gamma, coef0, cost, eps, imax, *, kernel, degree,
                            ntiles, Lt, panel_rows, precond: str = "none",
                            use_pallas: bool = False, interpret: bool = False,
                            heavy=None, heavy_rows: tuple = (),
-                           heavy_sq_vec=None, heavy_g_vec=None):
+                           heavy_sq_vec=None, heavy_g_vec=None,
+                           mxu_plan: tuple | None = None,
+                           sweep: str | None = None):
     """Streaming sparse poly/rbf learn, ``panel`` strategy — CG over the
     implicit kernel matrix recomputed per iteration from the tiled-ELL
     packing via transient scatter-free densified panels on the fused Pallas
-    pair kernel (``ops/sparse.make_tiled_panel_matvec``): O(n·ntiles·Lt)
-    resident memory, no (n, n) Gram, no full (n, f) densification (the
-    north star; BASELINE.json config 3).  The reference cannot run this
-    regime at all (always densifies, ``parameter.hpp:51-75``)."""
-    from ..ops.sparse import (make_tiled_panel_matvec, sparse_q_qa_kii,
+    pair kernel: O(n·ntiles·Lt) resident memory, no (n, n) Gram, no full
+    (n, f) densification (the north star; BASELINE.json config 3).  The
+    reference cannot run this regime at all (always densifies,
+    ``parameter.hpp:51-75``).
+
+    ``sweep`` picks the pair-sweep schedule (``windowed`` = the
+    bounded-liveness i-major scan serving the physically-beyond-HBM
+    regime, ``unrolled`` = the memory-hungry fast schedule); ``None``
+    resolves :func:`~..ops.sparse.panel_sweep_strategy` at trace time —
+    callers that may be re-invoked under a different
+    ``PLSSVM_SPARSE_PANEL_SWEEP`` must pass it explicitly (the jit cache
+    keys on the argument, not the env).  ``mxu_plan`` enables the adaptive
+    two-tier CG on the Pallas pair products (same contract as the dense
+    ``_learn_jit``)."""
+    from ..ops.sparse import (make_tiled_panel_matvec,
+                              make_tiled_panel_matvec_windowed,
+                              panel_sweep_strategy, sparse_q_qa_kii,
                               tiled_matvec)
 
     dtype = tvals.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
-    kv_fn, sq = make_tiled_panel_matvec(
-        tvals, tlcols, int(kernel), degree, gamma, coef0,
-        ntiles=ntiles, Lt=Lt, panel_rows=panel_rows,
-        use_pallas=use_pallas, interpret=interpret,
-        heavy=heavy, heavy_rows=heavy_rows, heavy_sq_vec=heavy_sq_vec)
+    nP = -(-tvals.shape[0] // panel_rows)
+    if sweep is None:
+        sweep = panel_sweep_strategy(nP)
+    maker = (make_tiled_panel_matvec_windowed if sweep == "windowed"
+             else make_tiled_panel_matvec)
+
+    def make_kv(prec):
+        return maker(
+            tvals, tlcols, int(kernel), degree, gamma, coef0,
+            ntiles=ntiles, Lt=Lt, panel_rows=panel_rows,
+            use_pallas=use_pallas, interpret=interpret,
+            heavy=heavy, heavy_rows=heavy_rows, heavy_sq_vec=heavy_sq_vec,
+            precision=prec)
+
+    if mxu_plan is not None and use_pallas:
+        from ..ops.matvec import tier_precision
+
+        kv_fast, sq = make_kv(tier_precision(mxu_plan[0]))
+        kv_acc, _ = make_kv(tier_precision(mxu_plan[1]))
+    else:
+        kv_fn, sq = make_kv(None)
+        kv_fast = kv_acc = None
 
     f = x_last_dense.shape[0]
     fp = ntiles * 128
@@ -107,16 +138,31 @@ def learn_sparse_panel_jit(tvals, tlcols, x_last_dense, b_pad, mask,
     q, QA_cost, kii = sparse_q_qa_kii(
         int(kernel), degree, gamma, coef0, g_last, sq_last, sq, mask, cost_inv)
 
-    def matvec(v):
-        return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)
-
     minv = None
     if precond == "jacobi":
         minv = _diag_minv(kii, q, mask, QA_cost, cost_inv)
-    res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
+
+    if kv_fast is not None:
+        from ..solver.cg import cg_solve_adaptive
+
+        def mv_fast(v):
+            return _corrections(kv_fast(v), v, q, mask, QA_cost, cost_inv)
+
+        def mv_acc(v):
+            return _corrections(kv_acc(v), v, q, mask, QA_cost, cost_inv)
+
+        res = cg_solve_adaptive(mv_fast, mv_acc, b_pad, mask, eps, imax,
+                                minv=minv)
+        k_fast = res.fast_iterations
+    else:
+        def matvec(v):
+            return _corrections(kv_fn(v), v, q, mask, QA_cost, cost_inv)
+
+        res = cg_solve(matvec, b_pad, mask, eps, imax, minv=minv)
+        k_fast = res.iterations
     s = jnp.sum(res.x)
     t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
-    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+    return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0, k_fast
 
 
 @partial(jax.jit, static_argnames=("kernel", "degree", "f", "precond", "bm", "bn"))

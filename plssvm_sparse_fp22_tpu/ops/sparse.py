@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax import lax
 
 
 @dataclass
@@ -291,14 +292,17 @@ def pack_tiled_hybrid(csr: sp.csr_matrix, dtype=np.float32,
         heavy_mask = np.zeros(n, bool)
     else:
         # memory-optimal cap over the rowmax histogram, in bytes: a light
-        # slot costs a value + an int32 column (2 f32-equivalents), a
-        # heavy dense cell costs 1
+        # slot costs a value + an int32 column (itemsize + 4 bytes), a
+        # heavy dense cell costs itemsize (advisor r4: the old hardcoded
+        # 2:1 ratio was the f32 special case; f64's true ratio is 1.5:1)
+        itemsize = np.dtype(dtype).itemsize
         counts = np.bincount(rowmax, minlength=max_fill + 1)
         rows_above = counts[::-1].cumsum()[::-1]  # rows with rowmax >= k
         cands = np.arange(1, max_fill + 1)
         # h(Lt) = #rows with rowmax > Lt = rows_above[Lt + 1]
         h = np.concatenate([rows_above[2:], [0]])
-        cost = 2 * rows_out * ntiles * cands + h * (ntiles * 128)
+        cost = (rows_out * ntiles * cands * (itemsize + 4)
+                + h * (ntiles * 128) * itemsize)
         Lt = int(cands[np.argmin(cost)]) if cap == 0 else min(int(cap), max_fill)
         heavy_mask = rowmax > Lt
 
@@ -363,7 +367,7 @@ def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
                             Lt: int, panel_rows: int, use_pallas: bool,
                             interpret: bool = False,
                             heavy=None, heavy_rows: tuple = (),
-                            heavy_sq_vec=None):
+                            heavy_sq_vec=None, precision=None):
     """``v -> K(X, X) @ v`` for tiled-ELL-packed X via transient dense
     panels — the streaming north-star path rebuilt scatter-free:
 
@@ -430,12 +434,175 @@ def make_tiled_panel_matvec(tell_vals, tell_lcols, kernel_int: int,
                           gamma=gamma, coef0=coef0)
                 if use_pallas:
                     kw["interpret"] = interpret
+                    if precision is not None:
+                        kw["precision"] = precision
                 oi, oj = fn(kernel, XdI, XdJ, vi, vj, **kw)
                 outs[I] = outs[I] + oi
                 outs[J] = outs[J] + oj
         return jnp.concatenate(outs) if nP > 1 else outs[0]
 
     return matvec, sq
+
+
+def panel_sweep_strategy(nP: int, dense_bytes: int | None = None,
+                         physical_bytes: int | None = None) -> str:
+    """Pair-sweep schedule of the ``panel`` streaming matvec:
+
+    - ``unrolled`` — every panel pair traced inline; XLA CSE densifies each
+      panel once per sweep but its scheduler keeps panels + bf16 splits +
+      kernel buffers live across the sweep (measured peak temp ~2.5-4x the
+      padded-dense bytes on v5e) — the FAST schedule (v5e, 16384x4096 @1%,
+      8 panels: 40.8 ms/iter at the accurate tier, 28.7 ms on the adaptive
+      fast tier vs 21 ms fully-dense implicit).
+    - ``windowed`` — i-major ``lax.scan`` over strict-lower panel pairs with
+      the densified i-panel carried across its j-sweep, plus a
+      diagonal-panel scan: liveness is structurally bounded (measured peak
+      temp 511 MB vs the unrolled schedule's 954-1078 MB at the same
+      config; 47 MB at 32 panels), so the BUDGET sizes the transient
+      instead of the dense size — the schedule that serves the
+      physically-beyond-HBM regime.  Slower per pair (the i-residency
+      cannot recover the unrolled schedule's whole-sweep CSE), so it is
+      chosen only when the unrolled envelope does not fit.
+
+    ``PLSSVM_SPARSE_PANEL_SWEEP`` forces either; auto picks ``unrolled``
+    whenever its measured ~4x-dense transient envelope fits the chip's
+    physical memory (or no memory context is given) and ``windowed``
+    beyond (measured numbers: docs/PERF.md "Streaming sparse" tables).
+    """
+    forced = os.environ.get("PLSSVM_SPARSE_PANEL_SWEEP", "auto")
+    if forced in ("unrolled", "windowed"):
+        return forced
+    if nP <= 1:
+        return "unrolled"  # single panel: the schedules coincide
+    if dense_bytes is None or physical_bytes is None:
+        return "unrolled"
+    return "unrolled" if 4 * dense_bytes <= physical_bytes else "windowed"
+
+
+def make_tiled_panel_matvec_windowed(tell_vals, tell_lcols, kernel_int: int,
+                                     degree: int, gamma, coef0, *, ntiles: int,
+                                     Lt: int, panel_rows: int,
+                                     use_pallas: bool, interpret: bool = False,
+                                     heavy=None, heavy_rows: tuple = (),
+                                     heavy_sq_vec=None, precision=None):
+    """``v -> K(X, X) @ v`` for tiled-ELL-packed X — the ``windowed``
+    pair-sweep schedule (see :func:`panel_sweep_strategy`): bounded-liveness
+    streaming for the physically-beyond-HBM single-chip regime
+    (BASELINE.json config 3; the reference cannot load this regime at all,
+    ``parameter.hpp:51-75``).
+
+    Two scans per matvec:
+
+    1. diagonal panels: densify panel ``i``, run the triangular pair kernel
+       on it (``same=True`` — no double-counted blocks);
+    2. strict-lower cross pairs in i-major order: the carry holds the
+       densified i-panel, re-densified only when ``i`` advances
+       (``lax.cond``), so each i-panel's densify amortizes over its whole
+       j-sweep while the scan structurally frees every j-panel after its
+       pair — XLA cannot keep the whole sweep's panels live the way the
+       unrolled schedule lets it.
+
+    Panels are uniform (``panel_rows`` rows); the packed arrays are padded
+    to a panel multiple with inert zero rows.  Returns ``(matvec, sq)``
+    like :func:`make_tiled_panel_matvec`.
+    """
+    from ..types import KernelType
+    from .pallas_matvec import pair_gram_contrib, pair_gram_contrib_xla
+
+    kernel = KernelType(kernel_int)
+    dtype = tell_vals.dtype
+    D = tell_vals.shape[0]
+    P = min(panel_rows, D)
+    nP = -(-D // P)
+    Dp = nP * P
+    fp = ntiles * 128
+    slots = ntiles * Lt
+    if Dp != D:
+        tell_vals = jnp.zeros((Dp, slots), dtype).at[:D].set(tell_vals)
+        tell_lcols = jnp.zeros((Dp, slots), jnp.int32).at[:D].set(tell_lcols)
+
+    sq = jnp.sum(tell_vals * tell_vals, axis=1)
+    if heavy_sq_vec is not None:
+        hs = (heavy_sq_vec if Dp == D
+              else jnp.zeros((Dp,), dtype).at[:D].set(heavy_sq_vec))
+        sq = sq + hs
+    h = len(heavy_rows)
+    hr = jnp.asarray(np.asarray(heavy_rows, np.int32).reshape(h))
+
+    def densify_dyn(lo):
+        """Densify panel rows [lo, lo+P) — traced ``lo`` (scan index), so
+        heavy rows place with gated read-modify-write row slices (the
+        traced-position twin of the unrolled schedule's static placement)."""
+        zero = jnp.asarray(0, jnp.int32)
+        Vp = lax.dynamic_slice(tell_vals, (lo, zero), (P, slots))
+        Cp = lax.dynamic_slice(tell_lcols, (lo, zero), (P, slots))
+        base = densify_tiled(Vp, Cp, ntiles, Lt)
+        for k in range(h):
+            idx = jnp.clip(hr[k] - lo, 0, P - 1).astype(jnp.int32)
+            in_rng = jnp.logical_and(hr[k] >= lo, hr[k] < lo + P)
+            cur = lax.dynamic_slice(base, (idx, zero), (1, fp))
+            row = jnp.where(in_rng, heavy[k:k + 1].astype(dtype), cur)
+            base = lax.dynamic_update_slice(base, row, (idx, zero))
+        return base
+
+    fn = pair_gram_contrib if use_pallas else pair_gram_contrib_xla
+    kw = dict(degree=degree, gamma=gamma, coef0=coef0)
+    if use_pallas:
+        kw["interpret"] = interpret
+        if precision is not None:
+            kw["precision"] = precision
+
+    # i-major strict-lower pair order (static tables, traced through scan)
+    tri = [(i, j) for i in range(nP) for j in range(i)]
+    pair_i = jnp.asarray([t[0] for t in tri], jnp.int32)
+    pair_j = jnp.asarray([t[1] for t in tri], jnp.int32)
+
+    def matvec(v):
+        v = v.astype(dtype)
+        v_pad = v if Dp == D else jnp.zeros((Dp,), dtype).at[:D].set(v)
+
+        def vslice(lo):
+            return (lax.dynamic_slice(v_pad, (lo,), (P,)),
+                    lax.dynamic_slice(sq, (lo,), (P,)))
+
+        def out_add(out, lo, contrib):
+            seg = lax.dynamic_slice(out, (lo,), (P,))
+            return lax.dynamic_update_slice(out, seg + contrib, (lo,))
+
+        def diag_step(out, i):
+            lo = i * P
+            Xd = densify_dyn(lo)
+            vi, sqi = vslice(lo)
+            oi, oj = fn(kernel, Xd, Xd, vi, vi, same=True, sq_i=sqi,
+                        sq_j=sqi, **kw)
+            return out_add(out, lo, oi + oj), None
+
+        out, _ = lax.scan(diag_step, jnp.zeros((Dp,), dtype),
+                          jnp.arange(nP, dtype=jnp.int32))
+
+        if nP > 1:
+            def cross_step(carry, pij):
+                icur, Xi, out = carry
+                i, j = pij
+                lo_i, lo_j = i * P, j * P
+                Xi = lax.cond(i != icur,
+                              lambda _: densify_dyn(lo_i),
+                              lambda _: Xi, None)
+                Xj = densify_dyn(lo_j)
+                vi, sqi = vslice(lo_i)
+                vj, sqj = vslice(lo_j)
+                oi, oj = fn(kernel, Xi, Xj, vi, vj, same=False, sq_i=sqi,
+                            sq_j=sqj, **kw)
+                out = out_add(out, lo_i, oi)
+                out = out_add(out, lo_j, oj)
+                return (i, Xi, out), None
+
+            init = (jnp.int32(-1), jnp.zeros((P, fp), dtype), out)
+            (_, _, out), _ = lax.scan(cross_step, init, (pair_i, pair_j))
+
+        return out[:D]
+
+    return matvec, sq[:D]
 
 
 def host_gram_from_csr(csr: sp.csr_matrix, dept: int | None = None) -> np.ndarray:

@@ -178,6 +178,93 @@ def _prepare_local(kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
     return q_loc, QA_cost, cost_inv, matvec, minv
 
 
+def _prepare_feature_local(kernel, X_loc, x_last_loc, mask, gamma, coef0,
+                           cost, degree, precond):
+    """Shared per-shard setup for the FEATURE-sharded learns: psummed
+    q/QA_cost, the psum-assembled Gram matvec, and the optional Jacobi
+    slice.  CG vectors are replicated in this scheme, so everything
+    returned is replicated; the one collective per matvec is the partial
+    Gram psum.  The feature twin of :func:`_prepare_local`."""
+    from ..constants import ROW_BLOCK_SIZE
+
+    dtype = X_loc.dtype
+    D = X_loc.shape[0]
+    cost_inv = jnp.asarray(1.0, dtype) / cost
+
+    # q and QA_cost from psummed partial linear terms
+    # (generate_q + device_reduction, gpu_csvm.cpp:160-183)
+    g_last = lax.psum(
+        jnp.dot(X_loc, x_last_loc, preferred_element_type=dtype, precision=PRECISION),
+        DATA_AXIS,
+    )
+    sq_last = lax.psum(jnp.dot(x_last_loc, x_last_loc,
+                               preferred_element_type=dtype, precision=PRECISION),
+                       DATA_AXIS)
+    sq_loc = lax.psum(jnp.sum(X_loc * X_loc, axis=1), DATA_AXIS)
+
+    if kernel == KernelType.linear:
+        q = g_last
+        QA = sq_last
+    elif kernel == KernelType.polynomial:
+        q = (gamma * g_last + coef0) ** degree
+        QA = (gamma * sq_last + coef0) ** degree
+    else:  # rbf
+        q = jnp.exp(-gamma * jnp.maximum(sq_loc + sq_last - 2.0 * g_last, 0.0))
+        QA = jnp.asarray(1.0, dtype)
+    q = q * mask
+    QA_cost = QA + cost_inv
+
+    def corrections(Kv, v):
+        s = jnp.sum(v)
+        t = jnp.dot(q, v, preferred_element_type=dtype, precision=PRECISION)
+        return mask * Kv + (QA_cost * s - t) * mask - s * q + cost_inv * v
+
+    if kernel == KernelType.linear:
+
+        def matvec(v):
+            u = jnp.dot(X_loc.T, v, preferred_element_type=dtype, precision=PRECISION)
+            Kv = lax.psum(
+                jnp.dot(X_loc, u, preferred_element_type=dtype, precision=PRECISION),
+                DATA_AXIS,
+            )
+            return corrections(Kv, v)
+
+    else:
+        # blockwise psum-assembled Gram rows + post-collective transform
+        nb = D // ROW_BLOCK_SIZE if (D % ROW_BLOCK_SIZE == 0 and D >= ROW_BLOCK_SIZE) else 1
+        Xb = X_loc.reshape(nb, D // nb, -1)
+        sqb = sq_loc.reshape(nb, D // nb)
+
+        def matvec(v):
+            def block_fn(args):
+                Xi, sq_i = args
+                G_blk = lax.psum(
+                    jnp.dot(Xi, X_loc.T, preferred_element_type=dtype,
+                            precision=PRECISION),
+                    DATA_AXIS,
+                )
+                if kernel == KernelType.polynomial:
+                    K_blk = (gamma * G_blk + coef0) ** degree
+                else:
+                    d2 = sq_i[:, None] + sq_loc[None, :] - 2.0 * G_blk
+                    K_blk = jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+                return jnp.dot(K_blk, v, preferred_element_type=dtype,
+                               precision=PRECISION)
+
+            Kv = lax.map(block_fn, (Xb, sqb)).reshape(D)
+            return corrections(Kv, v)
+
+    minv = None
+    if precond == "jacobi":
+        from ..ops.kernel_functions import kernel_diag
+        from ..ops.matvec import jacobi_minv_from_kii
+
+        kii = kernel_diag(kernel, sq_loc, degree, gamma, coef0)
+        minv = jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
+
+    return q, QA_cost, cost_inv, matvec, minv
+
+
 @lru_cache(maxsize=None)
 def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int,
                                precond: str = "none"):
@@ -206,7 +293,7 @@ def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int,
     with X/x_last feature-sharded and the vectors replicated; outputs are
     replicated.
     """
-    from ..constants import ROW_BLOCK_SIZE
+    from ..solver.cg import cg_solve
 
     @partial(
         jax.shard_map,
@@ -218,88 +305,69 @@ def make_feature_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int,
     )
     def run(X_loc, x_last_loc, b, mask, gamma, coef0, cost, eps, imax):
         dtype = X_loc.dtype
-        D = X_loc.shape[0]
-        cost_inv = jnp.asarray(1.0, dtype) / cost
-
-        # q and QA_cost from psummed partial linear terms
-        # (generate_q + device_reduction, gpu_csvm.cpp:160-183)
-        g_last = lax.psum(
-            jnp.dot(X_loc, x_last_loc, preferred_element_type=dtype, precision=PRECISION),
-            DATA_AXIS,
+        q, QA_cost, _ci, matvec, minv = _prepare_feature_local(
+            kernel, X_loc, x_last_loc, mask, gamma, coef0, cost, degree,
+            precond,
         )
-        sq_last = lax.psum(jnp.dot(x_last_loc, x_last_loc,
-                                   preferred_element_type=dtype, precision=PRECISION),
-                           DATA_AXIS)
-        sq_loc = lax.psum(jnp.sum(X_loc * X_loc, axis=1), DATA_AXIS)
-
-        if kernel == KernelType.linear:
-            q = g_last
-            QA = sq_last
-        elif kernel == KernelType.polynomial:
-            q = (gamma * g_last + coef0) ** degree
-            QA = (gamma * sq_last + coef0) ** degree
-        else:  # rbf
-            q = jnp.exp(-gamma * jnp.maximum(sq_loc + sq_last - 2.0 * g_last, 0.0))
-            QA = jnp.asarray(1.0, dtype)
-        q = q * mask
-        QA_cost = QA + cost_inv
-
-        def corrections(Kv, v):
-            s = jnp.sum(v)
-            t = jnp.dot(q, v, preferred_element_type=dtype, precision=PRECISION)
-            return mask * Kv + (QA_cost * s - t) * mask - s * q + cost_inv * v
-
-        if kernel == KernelType.linear:
-
-            def matvec(v):
-                u = jnp.dot(X_loc.T, v, preferred_element_type=dtype, precision=PRECISION)
-                Kv = lax.psum(
-                    jnp.dot(X_loc, u, preferred_element_type=dtype, precision=PRECISION),
-                    DATA_AXIS,
-                )
-                return corrections(Kv, v)
-
-        else:
-            # blockwise psum-assembled Gram rows + post-collective transform
-            nb = D // ROW_BLOCK_SIZE if (D % ROW_BLOCK_SIZE == 0 and D >= ROW_BLOCK_SIZE) else 1
-            Xb = X_loc.reshape(nb, D // nb, -1)
-            sqb = sq_loc.reshape(nb, D // nb)
-
-            def matvec(v):
-                def block_fn(args):
-                    Xi, sq_i = args
-                    G_blk = lax.psum(
-                        jnp.dot(Xi, X_loc.T, preferred_element_type=dtype,
-                                precision=PRECISION),
-                        DATA_AXIS,
-                    )
-                    if kernel == KernelType.polynomial:
-                        K_blk = (gamma * G_blk + coef0) ** degree
-                    else:
-                        d2 = sq_i[:, None] + sq_loc[None, :] - 2.0 * G_blk
-                        K_blk = jnp.exp(-gamma * jnp.maximum(d2, 0.0))
-                    return jnp.dot(K_blk, v, preferred_element_type=dtype,
-                                   precision=PRECISION)
-
-                Kv = lax.map(block_fn, (Xb, sqb)).reshape(D)
-                return corrections(Kv, v)
-
-        from ..solver.cg import cg_solve
-
-        minv = None
-        if precond == "jacobi":
-            from ..ops.kernel_functions import kernel_diag
-            from ..ops.matvec import jacobi_minv_from_kii
-
-            kii = kernel_diag(kernel, sq_loc, degree, gamma, coef0)
-            minv = jacobi_minv_from_kii(kii, q, mask, QA_cost, cost_inv)
-
         res = cg_solve(matvec, b, mask, eps, imax, minv=minv)
         s = jnp.sum(res.x)
         t = jnp.dot(q, res.x, preferred_element_type=dtype, precision=PRECISION)
         return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def make_feature_sharded_learn_fns(mesh: Mesh, kernel: KernelType,
+                                   degree: int, precond: str = "none"):
+    """Chunked FEATURE-sharded learn: ``(setup, chunk)`` jits for the
+    checkpoint / verbose-CG driver — the feature-axis twin of
+    :func:`make_sharded_learn_fns` (VERDICT r4 #8: per-iteration output /
+    resume exists on every reference path, ``gpu_csvm.cpp:245-247``).
+    CG vectors are replicated in this scheme, so the CGState is replicated
+    and checkpoints interchange with the single-chip format.
+
+    ``setup(X_feat, x_last_feat, b, mask, gamma, coef0, cost)
+    -> (q, QA_cost, state)``; ``chunk(X_feat, b, mask, x_last_feat, gamma,
+    coef0, cost, eps, imax_end, state) -> state``.
+    """
+    from ..solver.cg import CGState, cg_init, cg_run
+
+    state_specs = CGState(k=P(), x=P(), r=P(), d=P(), delta=P(), delta0=P())
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P(None), P(None),
+                  P(), P(), P()),
+        out_specs=(P(None), P(), state_specs),
+        check_vma=False,
+    )
+    def setup(X_loc, x_last_loc, b, mask, gamma, coef0, cost):
+        q, QA_cost, _ci, matvec, minv = _prepare_feature_local(
+            kernel, X_loc, x_last_loc, mask, gamma, coef0, cost, degree,
+            precond,
+        )
+        state = cg_init(matvec, b, mask, minv=minv)
+        return q, QA_cost, state
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(None), P(None), P(DATA_AXIS),
+                  P(), P(), P(), P(), P(), state_specs),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def chunk(X_loc, b, mask, x_last_loc, gamma, coef0, cost, eps,
+              imax_end, state):
+        _q, _QA, _ci, matvec, minv = _prepare_feature_local(
+            kernel, X_loc, x_last_loc, mask, gamma, coef0, cost, degree,
+            precond,
+        )
+        return cg_run(matvec, b, mask, eps, imax_end, state, minv=minv)
+
+    return jax.jit(setup), jax.jit(chunk)
 
 
 def shard_system_feature(mesh: Mesh, X_pad, x_last, b_pad, mask):
@@ -683,13 +751,23 @@ def make_sharded_sparse_panel_learn(mesh: Mesh, kernel: KernelType,
                 return jnp.dot(Kblk, vJ, preferred_element_type=dtype,
                                precision=PRECISION)
 
+        # the LOCAL side's densified panels are hop-invariant (tvals/heavy
+        # never ride the ring): densify them ONCE outside the ring scan
+        # instead of leaning on XLA LICM to hoist num_hops*nP redundant
+        # densifies out of the scan body (advisor r4)
+        local_panels = [
+            densify(tvals, tlcols, heavy, hrow, bounds[I], bounds[I + 1])
+            for I in range(nP)
+        ]
+
         def hop_contrib(bv, bc, bhv, bhr, bsq, vb):
-            """Local rows x in-flight slab: densify panels of both sides on
-            the fly (scatter-free) and sum fused panel products."""
+            """Local rows x in-flight slab: densify the in-flight side's
+            panels on the fly (scatter-free) and sum fused panel products
+            against the pre-densified local panels."""
             outs = []
             for I in range(nP):
                 loI, hiI = bounds[I], bounds[I + 1]
-                XdI = densify(tvals, tlcols, heavy, hrow, loI, hiI)
+                XdI = local_panels[I]
                 acc = jnp.zeros((hiI - loI,), dtype)
                 for J in range(nP):
                     loJ, hiJ = bounds[J], bounds[J + 1]

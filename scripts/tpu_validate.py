@@ -67,6 +67,15 @@ def main():
         mv = make_sym_matvec(kernel, Xd, interpret=not on_tpu, **HYPER)
         check(f"sym_pallas[{kernel.name}]", mv(vd), K @ v, 2e-4)
 
+    # 1b. the adaptive solve's FAST tier (1-pass bf16): the error budget the
+    # escalation machinery exists to cover — loose tolerance by design
+    from jax import lax as _lax
+
+    mv_fast = make_sym_matvec(KernelType.rbf, Xd, interpret=not on_tpu,
+                              precision=_lax.Precision.DEFAULT, **HYPER)
+    K = oracle.kernel_matrix(KernelType.rbf, X, X, **HYPER)
+    check("sym_pallas[rbf,fast-tier]", mv_fast(vd), K @ v, 2e-2)
+
     # 2. cross Gram matvec (predict kernel expansion)
     P = rng.normal(size=(96, f)).astype(np.float32)
     for kernel in KERNELS:
@@ -139,6 +148,19 @@ def main():
     check("sparse_panel_sq", sq,
           np.asarray(csr.multiply(csr).sum(axis=1)).ravel(), 1e-5)
 
+    # windowed (bounded-liveness i-major scan) sweep — the beyond-HBM
+    # schedule; same operator, traced-position heavy placement
+    from plssvm_sparse_fp22_tpu.ops.sparse import \
+        make_tiled_panel_matvec_windowed
+
+    mvw, sqw = make_tiled_panel_matvec_windowed(
+        th.tell.vals, th.tell.lcols, int(KernelType.rbf), 3, HYPER["gamma"],
+        HYPER["coef0"], ntiles=th.tell.ntiles, Lt=th.tell.Lt, panel_rows=256,
+        use_pallas=True, interpret=not on_tpu, heavy=th.heavy,
+        heavy_rows=tuple(int(r) for r in th.heavy_idx),
+        heavy_sq_vec=jnp.asarray(hs))
+    check("sparse_panel_matvec[windowed,heavy]", mvw(vd), Ks @ v, 2e-4)
+
     h = HybridSparse.from_csr(csr, dtype=np.float32)
     gmv, _sq = make_streaming_gram_matvec(h, int(KernelType.rbf), 3,
                                           HYPER["gamma"], HYPER["coef0"])
@@ -178,6 +200,29 @@ def main():
             check(f"learn[{label}] alphas", svm.alphas[:-1], a_ref[:-1], 5e-3)
         finally:
             os.environ.pop("PLSSVM_SPARSE_MODE", None)
+
+    # 7. adaptive two-tier learn: forced adaptive plan must match the oracle
+    # to the same tolerance as the fixed tier (the accurate-tier residual
+    # check guarantees it regardless of the fast tier's error floor)
+    prev = os.environ.get("PLSSVM_MATMUL_PRECISION")
+    os.environ["PLSSVM_MATMUL_PRECISION"] = "adaptive"
+    try:
+        params = Parameter(kernel=KernelType.rbf, cost=1.0, epsilon=1e-8,
+                           max_iter=300, print_info=False, dtype=np.float32,
+                           devices=1, sparse_threshold=-1.0, **HYPER)
+        params.data = ParsedData(csr=sp.csr_matrix(Xl), values=yl, _dense=Xl)
+        params.values = yl
+        svm = make_csvm(params)
+        svm.learn()
+        check("learn[adaptive] alphas", svm.alphas[:-1], a_ref[:-1], 5e-3)
+        print(f"      adaptive: {svm.last_cg_info['iterations']} iters, "
+              f"{svm.last_cg_info.get('fast_iterations')} on the fast tier, "
+              f"escalated={svm.last_cg_info.get('escalated')}", flush=True)
+    finally:
+        if prev is None:
+            os.environ.pop("PLSSVM_MATMUL_PRECISION", None)
+        else:
+            os.environ["PLSSVM_MATMUL_PRECISION"] = prev
 
     n_fail = sum(not r["ok"] for r in RESULTS)
     print(json.dumps({"metric": "tpu_validation",

