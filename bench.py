@@ -208,32 +208,40 @@ def _sparse_tier_bench(n, f, density):
         svm.learn()
         return time.perf_counter() - t0, svm
 
-    lo, hi = 8, 108
     tiers = {}
     prior_mode = os.environ.get("PLSSVM_SPARSE_MODE")
     for tier in ("gram", "dense", "implicit"):
         os.environ["PLSSVM_SPARSE_MODE"] = tier
         try:
-            learn_once(lo)  # compile warmup (both iteration counts)
+            lo, hi = 8, 108
+            learn_once(lo)  # compile warmup
             learn_once(hi)
             t_lo_a, svm_lo = learn_once(lo)
             t_lo_b, _ = learn_once(lo)
             t_lo = min(t_lo_a, t_lo_b)
-            t_hi_a, svm = learn_once(hi)
-            t_hi_b, _ = learn_once(hi)
-            t_hi = min(t_hi_a, t_hi_b)
-            # marginal per-iteration cost over EXECUTED iterations (the
-            # eps=0 CG can stop early when the f32 residual underflows to
-            # an exact 0.0); the slope cancels the one-time host pack /
-            # transfer / setup that dominates learn_s at this scale.  A
-            # span inside the measured run-to-run noise reports null, not
-            # a noise-quotient masquerading as a per-iteration cost.
-            it_lo = int(svm_lo.last_cg_info["iterations"])
-            it_hi = int(svm.last_cg_info["iterations"])
-            span = t_hi - t_lo
-            noise = abs(t_lo_a - t_lo_b) + abs(t_hi_a - t_hi_b)
-            per_iter = (round(span / (it_hi - it_lo), 5)
-                        if it_hi > it_lo and span > 2.0 * noise else None)
+            # grow the span until it dwarfs the measured run-to-run noise
+            # (VERDICT r4 #6: a span inside the noise floor used to null
+            # every tier; the iteration cap is a dynamic argument, so
+            # growth costs no recompiles), capped so one tier cannot eat
+            # the bench's budget
+            per_iter, it_lo, it_hi = None, None, None
+            while True:
+                t_hi_a, svm = learn_once(hi)
+                t_hi_b, _ = learn_once(hi)
+                t_hi = min(t_hi_a, t_hi_b)
+                it_lo = int(svm_lo.last_cg_info["iterations"])
+                it_hi = int(svm.last_cg_info["iterations"])
+                span = t_hi - t_lo
+                noise = abs(t_lo_a - t_lo_b) + abs(t_hi_a - t_hi_b)
+                if it_hi > it_lo and span > 2.0 * noise:
+                    # marginal cost over EXECUTED iterations (the eps=0 CG
+                    # can stop early on an exact-zero f32 residual); the
+                    # slope cancels the one-time host pack/transfer/setup
+                    per_iter = round(span / (it_hi - it_lo), 5)
+                    break
+                if hi >= 2048 or it_hi == it_lo or t_hi > 120.0:
+                    break  # converged-early or budget cap: honest null
+                hi *= 3
             tiers[f"sparse_{tier}"] = {
                 "learn8_s": round(t_lo, 4),
                 "s_per_iter": per_iter,
