@@ -613,6 +613,9 @@ class CSVM:
         forced_tier = os.environ.get("PLSSVM_SPARSE_MODE", "auto") != "auto"
         if not forced_tier and (
             dept_pad * f * itemsize <= _k_cache_budget_bytes() * ndev
+            # per-chip working set: the dense slab + its bf16 splits
+            and 5 * dept_pad * f * itemsize // (2 * ndev)
+            <= self._device_memory_bytes()
         ):
             # densify once (budget-gated) and use every chip via the dense
             # sharded path; self.data.dense densifies the CSR on demand
@@ -742,15 +745,30 @@ class CSVM:
                       and self.dtype != jnp.float64)
         return th, use_pallas, sweep
 
-    @staticmethod
-    def _device_memory_bytes() -> int:
-        """Physical per-device memory; generous fallback when the backend
-        does not report it (CPU hosts)."""
+    #: HBM per chip by device kind (public TPU system specs) — the
+    #: fallback when the runtime does not report memory_stats (observed:
+    #: remote-relay TPU devices return None, which silently made every
+    #: physical-memory guard a no-op and OOMed an 8.6 GB dense-X learn)
+    _HBM_BY_KIND = {
+        "TPU v2": 8 << 30, "TPU v3": 16 << 30, "TPU v4": 32 << 30,
+        "TPU v5 lite": 16 << 30, "TPU v5e": 16 << 30,
+        "TPU v5": 95 << 30, "TPU v5p": 95 << 30,
+        "TPU v6 lite": 32 << 30, "TPU v6e": 32 << 30,
+    }
+
+    @classmethod
+    def _device_memory_bytes(cls) -> int:
+        """Physical per-device memory: the runtime's reported limit, else
+        the known HBM size of this device kind, else ample (CPU hosts)."""
         try:
-            stats = jax.devices()[0].memory_stats()
+            dev = jax.devices()[0]
+            stats = dev.memory_stats()
             limit = int(stats.get("bytes_limit", 0)) if stats else 0
             if limit > 0:
                 return limit
+            for kind, hbm in cls._HBM_BY_KIND.items():
+                if dev.device_kind.startswith(kind):
+                    return hbm
         except Exception:
             pass
         return 1 << 40  # no reported limit: treat as ample (host RAM)
@@ -821,8 +839,15 @@ class CSVM:
 
         itemsize = jnp.dtype(self.dtype).itemsize
         sparse_mode = os.environ.get("PLSSVM_SPARSE_MODE", "auto")
-        gram_fits = D * D * itemsize <= _k_cache_budget_bytes()
-        dense_x_fits = D * f * itemsize <= _k_cache_budget_bytes()
+        physical = self._device_memory_bytes()
+        # budget AND physical-working-set guards: the cached tier keeps K
+        # (+ its assembly transient) resident, the dense tier keeps X + its
+        # bf16 hi/lo splits (~2x dense, measured: an 8.6 GB dense X OOMed a
+        # 15.75 GB chip through this route before the physical term)
+        gram_fits = (D * D * itemsize <= _k_cache_budget_bytes()
+                     and 2 * D * D * itemsize <= physical)
+        dense_x_fits = (D * f * itemsize <= _k_cache_budget_bytes()
+                        and 5 * D * f * itemsize // 2 <= physical)
         if sparse_mode == "dense" or (
             sparse_mode == "auto" and not gram_fits and dense_x_fits
         ):

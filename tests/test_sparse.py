@@ -686,6 +686,27 @@ def test_plan_sparse_panel_policy():
     assert svm_w._plan_sparse_panel(wide, 63, 64) is None
 
 
+def test_sparse_tier_guards_respect_physical_memory(monkeypatch):
+    """The gram / densify-X tiers are gated on the PHYSICAL working set,
+    not just the cache budget: a dense X that fits the budget but whose
+    X + bf16-splits working set exceeds the chip must stream instead
+    (found live on v5e: an 8.6 GB dense X passed the 8 GiB budget check
+    and OOMed a 15.75 GB chip)."""
+    from plssvm_sparse_fp22_tpu.models.base import CSVM
+
+    csr, y = _random_sparse(256, 64, density=0.1, seed=67)
+    svm = pt.CSVM(_make_params(csr, y, KernelType.rbf, sparse=True))
+    svm.print_info = False
+    D = 256  # padded rows; padded features 128
+    dense_bytes = D * 64 * 8  # f64 under x64 tests
+    # physical memory passes the packing guards but fails 2.5x dense and
+    # 2x gram -> both cached tiers refuse, the learn streams
+    monkeypatch.setattr(CSVM, "_device_memory_bytes",
+                        staticmethod(lambda: 2 * dense_bytes))
+    svm.learn()
+    assert svm.last_cg_info["mode"] == "sparse_implicit", svm.last_cg_info
+
+
 def test_plan_sparse_panel_beyond_memory_goes_windowed(monkeypatch):
     """When the unrolled sweep's ~4x-dense envelope exceeds physical
     memory, the plan switches to the bounded-liveness windowed sweep
