@@ -433,7 +433,7 @@ class CSVM:
         """Row-sharded multi-chip learn (``parallel/sharded.py``): zero new
         flags, same outputs — the product-surface twin of the reference's
         multi-device ``learn()`` (``gpu_csvm.cpp:130-157``)."""
-        from ..ops.matvec import choose_sharded_mode
+        from ..ops.matvec import choose_sharded_mode, resolve_mxu_plan
         from ..parallel.sharded import (make_sharded_learn,
                                         make_sharded_learn_fns, shard_system)
 
@@ -473,7 +473,8 @@ class CSVM:
                                state.delta0)
 
         learn = make_sharded_learn(mesh, self.kernel, self.degree, mode,
-                                   precond=precond)
+                                   precond=precond,
+                                   mxu_plan=resolve_mxu_plan(mode, self.dtype))
         out = learn(
             Xs, x_last, bs, ms, *self._scalar_args(),
             jnp.asarray(self.epsilon, self.dtype), jnp.asarray(imax, jnp.int32),

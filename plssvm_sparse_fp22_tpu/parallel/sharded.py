@@ -71,10 +71,16 @@ def _local_corrections(Kv_loc, v_loc, q_loc, mask_loc, QA_cost, cost_inv):
 
 def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
                         degree, gamma, coef0, mode, K_loc=None,
-                        use_pallas=False):
-    """Per-shard A@v: v_loc (D/p,) -> (A v)_loc (D/p,), collectives inside."""
+                        use_pallas=False, precision=None):
+    """Per-shard A@v: v_loc (D/p,) -> (A v)_loc (D/p,), collectives inside.
+
+    ``precision`` overrides the MXU tier of the per-iteration products
+    (``linear``/``implicit`` modes) — the adaptive two-tier CG builds the
+    same local matvec at two tiers, exactly like the single-chip
+    ``build_operator``."""
     dtype = X_loc.dtype
     num = lax.axis_size(DATA_AXIS)
+    gemm_prec = PRECISION if precision is None else precision
 
     def corrections(Kv_loc, v_loc):
         return _local_corrections(Kv_loc, v_loc, q_loc, mask_loc,
@@ -83,8 +89,8 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
     if mode == "linear":
 
         def matvec(v_loc):
-            u = lax.psum(jnp.dot(X_loc.T, v_loc, preferred_element_type=dtype, precision=PRECISION), DATA_AXIS)
-            Kv_loc = jnp.dot(X_loc, u, preferred_element_type=dtype, precision=PRECISION)
+            u = lax.psum(jnp.dot(X_loc.T, v_loc, preferred_element_type=dtype, precision=gemm_prec), DATA_AXIS)
+            Kv_loc = jnp.dot(X_loc, u, preferred_element_type=dtype, precision=gemm_prec)
             return corrections(Kv_loc, v_loc)
 
     elif mode == "cached":
@@ -102,9 +108,10 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
         if use_pallas and dtype == jnp.float64:
             use_pallas = False
         if use_pallas:
-            from ..ops.pallas_matvec import gram_matvec_pallas
+            from ..ops.pallas_matvec import PALLAS_PRECISION, gram_matvec_pallas
 
             interpret = jax.default_backend() != "tpu"
+            pallas_prec = PALLAS_PRECISION if precision is None else precision
 
             def block_product(X_buf, sq_buf, v_buf):
                 # fused Pallas Gram-matvec against the in-flight ring block;
@@ -112,6 +119,7 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
                 return gram_matvec_pallas(
                     kernel, X_loc, v_buf, degree=degree, gamma=gamma,
                     coef0=coef0, Y=X_buf, interpret=interpret,
+                    precision=pallas_prec,
                 ).astype(dtype)
 
         else:
@@ -120,6 +128,7 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
                 Kblk = gram_block(
                     kernel, X_loc, X_buf, degree, gamma, coef0,
                     Xi_sqnorm=sq_loc, Xj_sqnorm=sq_buf,
+                    precision=precision,
                 )
                 return jnp.dot(Kblk, v_buf, preferred_element_type=dtype,
                                precision=PRECISION)
@@ -144,12 +153,13 @@ def _build_local_matvec(kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
 
 
 def _prepare_local(kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
-                   degree, mode, use_pallas, precond):
+                   degree, mode, use_pallas, precond, precision=None):
     """Shared per-shard setup: q slice, QA_cost, the local matvec, and the
     optional Jacobi preconditioner slice.  Every sharded learn variant
     (full / setup / chunk) goes through here so there is exactly one
     operator construction, mirroring the single ``build_operator`` of the
-    one-chip path."""
+    one-chip path.  ``precision`` overrides the matvec's MXU tier (the
+    adaptive CG's fast tier; q/QA/K assembly stay at the default)."""
     dtype = X_loc.dtype
     cost_inv = jnp.asarray(1.0, dtype) / cost
     # q_i = k(x_i, x_last): purely local (x_last replicated)
@@ -168,6 +178,7 @@ def _prepare_local(kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
     matvec = _build_local_matvec(
         kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
         degree, gamma, coef0, mode, K_loc=K_loc, use_pallas=use_pallas,
+        precision=precision,
     )
     minv = None
     if precond == "jacobi":
@@ -393,45 +404,68 @@ def shard_system_feature(mesh: Mesh, X_pad, x_last, b_pad, mask):
 
 @lru_cache(maxsize=None)
 def make_sharded_learn(mesh: Mesh, kernel: KernelType, degree: int, mode: str,
-                       use_pallas: bool | None = None, precond: str = "none"):
+                       use_pallas: bool | None = None, precond: str = "none",
+                       mxu_plan: tuple | None = None):
     """Build the jitted multi-chip learn step for a given mesh/config.
 
     Returns ``fn(X_pad, x_last, b_pad, mask, gamma, coef0, cost, eps, imax)
-    -> (x, s, t, QA_cost, iterations, delta, delta0)`` where the (D, f) data
-    and (D,) vectors are sharded over the mesh's data axis.
+    -> (x, s, t, QA_cost, iterations, delta, delta0[, fast_iterations])``
+    where the (D, f) data and (D,) vectors are sharded over the mesh's data
+    axis (the 8th output exists only under ``mxu_plan``).
 
     ``use_pallas`` switches the implicit ring step to the fused Pallas
     Gram-matvec kernel per hop (default: on when running on real TPUs).
-    ``precond='jacobi'`` enables the diagonal preconditioner — the same
-    feature set as the single-chip CG (the reference has one ``solver_CG``
-    for every backend, ``gpu_csvm.cpp:186-324``; so does this build).
+    ``precond='jacobi'`` enables the diagonal preconditioner, and
+    ``mxu_plan`` the adaptive two-tier CG — the same feature set as the
+    single-chip CG (the reference has one ``solver_CG`` for every backend,
+    ``gpu_csvm.cpp:186-324``; so does this build).
     """
-    from ..solver.cg import cg_solve
+    from ..solver.cg import cg_solve, cg_solve_adaptive
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and mode == "implicit"
+    out_specs = (P(DATA_AXIS),) + (P(),) * (7 if mxu_plan else 6)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P(DATA_AXIS),
                   P(), P(), P(), P(), P()),
-        out_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P()),
+        out_specs=out_specs,
         # pallas_call results carry no varying-mesh-axes metadata yet
         check_vma=False,
     )
     def run(X_loc, x_last, b_loc, mask_loc, gamma, coef0, cost, eps, imax):
         dtype = X_loc.dtype
-        q_loc, QA_cost, _cost_inv, matvec, minv = _prepare_local(
-            kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
-            degree, mode, use_pallas, precond,
-        )
-        res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
-                       dot=_psum_dot)
+        if mxu_plan is None:
+            q_loc, QA_cost, _ci, matvec, minv = _prepare_local(
+                kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+                degree, mode, use_pallas, precond,
+            )
+            res = cg_solve(matvec, b_loc, mask_loc, eps, imax, minv=minv,
+                           dot=_psum_dot)
+            extra = ()
+        else:
+            from ..ops.matvec import tier_precision
+
+            q_loc, QA_cost, cost_inv, mv_fast, minv = _prepare_local(
+                kernel, X_loc, x_last, mask_loc, gamma, coef0, cost,
+                degree, mode, use_pallas, precond,
+                precision=tier_precision(mxu_plan[0]),
+            )
+            mv_acc = _build_local_matvec(
+                kernel, X_loc, q_loc, mask_loc, QA_cost, cost_inv,
+                degree, gamma, coef0, mode, use_pallas=use_pallas,
+                precision=tier_precision(mxu_plan[1]),
+            )
+            res = cg_solve_adaptive(mv_fast, mv_acc, b_loc, mask_loc, eps,
+                                    imax, minv=minv, dot=_psum_dot)
+            extra = (res.fast_iterations,)
 
         s = lax.psum(jnp.sum(res.x), DATA_AXIS)
         t = _psum_dot(q_loc, res.x)
-        return res.x, s, t, QA_cost, res.iterations, res.delta, res.delta0
+        return (res.x, s, t, QA_cost, res.iterations, res.delta,
+                res.delta0) + extra
 
     return jax.jit(run)
 

@@ -175,8 +175,19 @@ def cg_run(
     return lax.while_loop(cond, body, state)
 
 
-#: iterations without a >=10% residual improvement before the adaptive solve
-#: declares the fast MXU tier stagnated (PLSSVM_CG_STAG_PATIENCE overrides)
+def _default_patience() -> int:
+    """Iterations without a >=10% residual improvement before the adaptive
+    solve declares the fast MXU tier stagnated.  ``PLSSVM_CG_STAG_PATIENCE``
+    overrides (read at trace time — a changed value needs a fresh trace,
+    like every precision knob)."""
+    import os
+
+    try:
+        return int(os.environ.get("PLSSVM_CG_STAG_PATIENCE", STAGNATION_PATIENCE))
+    except ValueError:
+        return STAGNATION_PATIENCE
+
+
 STAGNATION_PATIENCE: int = 8
 
 
@@ -188,7 +199,7 @@ def cg_run_stagnation(
     imax,
     state: CGState,
     *,
-    patience: int = STAGNATION_PATIENCE,
+    patience: int | None = None,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
     minv: jnp.ndarray | None = None,
     dot: Callable = _dot,
@@ -205,6 +216,8 @@ def cg_run_stagnation(
     ``delta <= eps^2 * delta0`` converged, ``k >= imax`` exhausted,
     anything else stagnated.
     """
+    if patience is None:
+        patience = _default_patience()
     dtype = b.dtype
     eps = jnp.asarray(eps, dtype)
     imax = jnp.asarray(imax, jnp.int32)
@@ -265,7 +278,7 @@ def cg_solve_adaptive(
     eps,
     imax,
     *,
-    patience: int = STAGNATION_PATIENCE,
+    patience: int | None = None,
     refresh_interval: int = RESIDUAL_REFRESH_INTERVAL,
     minv: jnp.ndarray | None = None,
     dot: Callable = _dot,

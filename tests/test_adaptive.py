@@ -166,6 +166,32 @@ def test_product_surface_adaptive(monkeypatch):
     assert svm.accuracy() == pytest.approx(1.0)
 
 
+def test_sharded_adaptive_product_surface(monkeypatch):
+    """Forced adaptive through the row-sharded multi-chip learn: the
+    two-tier CG runs inside shard_map (psummed dots on both tiers) and the
+    fast-iteration count surfaces in last_cg_info."""
+    import scipy.sparse as sp
+
+    from plssvm_sparse_fp22_tpu.io.libsvm import ParsedData
+    from plssvm_sparse_fp22_tpu.models import make_csvm
+    from plssvm_sparse_fp22_tpu.params import Parameter
+    from plssvm_sparse_fp22_tpu.types import KernelType
+
+    monkeypatch.setenv("PLSSVM_MATMUL_PRECISION", "adaptive")
+    X, y = make_blobs(1100, 16, dtype=np.float32)
+    params = Parameter(kernel=KernelType.linear, cost=1.0, epsilon=1e-6,
+                       print_info=False, dtype=np.float32, devices=8)
+    params.data = ParsedData(csr=sp.csr_matrix(X), values=y,
+                             _dense=X.astype(np.float64))
+    params.values = y
+    svm = make_csvm(params)
+    svm.learn()
+    info = svm.last_cg_info
+    assert info["mode"].startswith("sharded_")
+    assert "fast_iterations" in info and info["escalated"] is False
+    assert svm.accuracy() > 0.97
+
+
 def test_resolve_mxu_plan_contract(monkeypatch):
     from plssvm_sparse_fp22_tpu.ops.matvec import resolve_mxu_plan
 
