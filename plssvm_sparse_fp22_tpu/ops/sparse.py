@@ -526,23 +526,49 @@ def make_tiled_panel_matvec_windowed(tell_vals, tell_lcols, kernel_int: int,
         hs = (heavy_sq_vec if Dp == D
               else jnp.zeros((Dp,), dtype).at[:D].set(heavy_sq_vec))
         sq = sq + hs
+    # heavy rows grouped BY PANEL on the host (panels are uniform, so the
+    # grouping is static): each densify places only ITS panel's rows —
+    # without this, every densify in the scan body carried one gated
+    # update per GLOBAL heavy row (measured: 837 heavy rows at a
+    # 65536x32768 @0.5% config bloated the scan body ~40x and dominated
+    # the first compile)
     h = len(heavy_rows)
-    hr = jnp.asarray(np.asarray(heavy_rows, np.int32).reshape(h))
+    if h:
+        groups = [[] for _ in range(nP)]
+        for k, r in enumerate(heavy_rows):
+            groups[int(r) // P].append(k)
+        hmax = max(len(g) for g in groups)
+        sel = np.zeros((nP, hmax), np.int32)  # index into `heavy`
+        loc = np.full((nP, hmax), P, np.int32)  # local row; P = inert
+        for p_, g in enumerate(groups):
+            for j, k in enumerate(g):
+                sel[p_, j] = k
+                loc[p_, j] = int(heavy_rows[k]) - p_ * P
+        # per-panel heavy rows gathered once (nP, hmax, fp)
+        hv_panel = heavy[jnp.asarray(sel)].astype(dtype)
+        loc_panel = jnp.asarray(loc)
+    else:
+        hmax = 0
 
-    def densify_dyn(lo):
-        """Densify panel rows [lo, lo+P) — traced ``lo`` (scan index), so
-        heavy rows place with gated read-modify-write row slices (the
-        traced-position twin of the unrolled schedule's static placement)."""
+    def densify_dyn(p_idx):
+        """Densify panel ``p_idx`` (traced scan index); this panel's heavy
+        rows place with gated read-modify-write row slices (the
+        traced-position twin of the unrolled schedule's static placement;
+        heavy rows' zeroed light slots make a replace semantically exact)."""
         zero = jnp.asarray(0, jnp.int32)
+        lo = p_idx * P
         Vp = lax.dynamic_slice(tell_vals, (lo, zero), (P, slots))
         Cp = lax.dynamic_slice(tell_lcols, (lo, zero), (P, slots))
         base = densify_tiled(Vp, Cp, ntiles, Lt)
-        for k in range(h):
-            idx = jnp.clip(hr[k] - lo, 0, P - 1).astype(jnp.int32)
-            in_rng = jnp.logical_and(hr[k] >= lo, hr[k] < lo + P)
-            cur = lax.dynamic_slice(base, (idx, zero), (1, fp))
-            row = jnp.where(in_rng, heavy[k:k + 1].astype(dtype), cur)
-            base = lax.dynamic_update_slice(base, row, (idx, zero))
+        if hmax:
+            hv = lax.dynamic_index_in_dim(hv_panel, p_idx, keepdims=False)
+            hloc = lax.dynamic_index_in_dim(loc_panel, p_idx, keepdims=False)
+            for k in range(hmax):
+                idx = jnp.clip(hloc[k], 0, P - 1).astype(jnp.int32)
+                valid = hloc[k] < P
+                cur = lax.dynamic_slice(base, (idx, zero), (1, fp))
+                row = jnp.where(valid, hv[k:k + 1], cur)
+                base = lax.dynamic_update_slice(base, row, (idx, zero))
         return base
 
     fn = pair_gram_contrib if use_pallas else pair_gram_contrib_xla
@@ -571,7 +597,7 @@ def make_tiled_panel_matvec_windowed(tell_vals, tell_lcols, kernel_int: int,
 
         def diag_step(out, i):
             lo = i * P
-            Xd = densify_dyn(lo)
+            Xd = densify_dyn(i)
             vi, sqi = vslice(lo)
             oi, oj = fn(kernel, Xd, Xd, vi, vi, same=True, sq_i=sqi,
                         sq_j=sqi, **kw)
@@ -586,9 +612,9 @@ def make_tiled_panel_matvec_windowed(tell_vals, tell_lcols, kernel_int: int,
                 i, j = pij
                 lo_i, lo_j = i * P, j * P
                 Xi = lax.cond(i != icur,
-                              lambda _: densify_dyn(lo_i),
+                              lambda _: densify_dyn(i),
                               lambda _: Xi, None)
-                Xj = densify_dyn(lo_j)
+                Xj = densify_dyn(j)
                 vi, sqi = vslice(lo_i)
                 vj, sqj = vslice(lo_j)
                 oi, oj = fn(kernel, Xi, Xj, vi, vj, same=False, sq_i=sqi,
