@@ -313,6 +313,13 @@ class CSVM:
                 f"Finished after {int(iters)} iterations with a residuum of "
                 f"{float(delta)} (target: {self.epsilon**2 * float(delta0)})."
             )
+            if self.last_cg_info.get("escalated"):
+                kf = self.last_cg_info["fast_iterations"]
+                print(
+                    f"Adaptive precision: {kf} iterations on the fast MXU "
+                    f"tier, {int(iters) - kf} after escalating to the "
+                    f"accurate tier."
+                )
             print(f"Solved minimization problem (r = b - Ax) using CG in {elapsed:.0f}ms.")
 
     # ------------------------------------------------------- learn strategies
