@@ -237,22 +237,13 @@ def gram_matvec_pallas(
     sqy8 = _rowsq_padded(jnp.sum(Y * Y, axis=1, keepdims=True), nJ, bn)
     scalars = jnp.stack([jnp.asarray(gamma, dtype), jnp.asarray(coef0, dtype)])
 
-    decomp = "bf16x3" if (
-        precision == lax.Precision.HIGH and dtype == jnp.float32
-    ) else "exact"
-    if decomp == "exact" and precision == lax.Precision.HIGH:
-        precision = lax.Precision.HIGHEST  # Mosaic has no HIGH dot lowering
+    decomp, precision = _resolve_decomp(precision, dtype)
     # index maps receive the scalar-prefetch ref as a trailing arg
     x_spec = pl.BlockSpec((bm, bk), lambda i, j, k, s: (i, k))
     y_spec = pl.BlockSpec((bn, bk), lambda i, j, k, s: (j, k))
-    if decomp == "bf16x3":
-        X_hi, X_lo = _split_bf16(X)
-        Y_hi, Y_lo = (X_hi, X_lo) if Y is X else _split_bf16(Y)
-        x_operands = (X_hi, Y_hi, X_lo, Y_lo)
-        x_specs = [x_spec, y_spec, x_spec, y_spec]
-    else:
-        x_operands = (X, Y)
-        x_specs = [x_spec, y_spec]
+    x_operands = _pair_operands(decomp, X, Y)
+    x_specs = ([x_spec, y_spec, x_spec, y_spec] if decomp == "bf16x3"
+               else [x_spec, y_spec])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -306,22 +297,33 @@ def symmetric_enabled() -> bool:
 def _resolve_decomp(precision, dtype):
     """MXU strategy for a precision tier: ``bf16x3`` = manual 3-pass
     split-bf16 (f32-grade accuracy at ~3x the single-pass rate instead of
-    the ~11x-slower exact-f32 emulation); otherwise exact dots (HIGH has no
-    Mosaic lowering and promotes to HIGHEST)."""
+    the ~11x-slower exact-f32 emulation); ``bf16cast`` = the 1-pass fast
+    tier with operands PRE-CAST to bf16 — numerically identical to a
+    DEFAULT-precision f32 dot (the MXU truncates f32 inputs to bf16
+    anyway) but at half the operand HBM/VMEM traffic, which is at par
+    with the single-pass MXU time at the headline shape; otherwise exact
+    dots (HIGH has no Mosaic lowering and promotes to HIGHEST)."""
     if precision == lax.Precision.HIGH and dtype == jnp.float32:
         return "bf16x3", precision
     if precision == lax.Precision.HIGH:
         return "exact", lax.Precision.HIGHEST
+    if precision == lax.Precision.DEFAULT and dtype == jnp.float32:
+        return "bf16cast", precision
     return "exact", precision
 
 
 def _pair_operands(decomp, Xip, Xjp):
-    """Operand tuple for the pair grid (hi/lo splits under bf16x3; the
-    j-side split is reused when both sides are the same array)."""
+    """Operand tuple for the pair grid (hi/lo splits under bf16x3, bf16
+    casts under bf16cast; the j-side transform is reused when both sides
+    are the same array)."""
     if decomp == "bf16x3":
         Xi_hi, Xi_lo = _split_bf16(Xip)
         Xj_hi, Xj_lo = (Xi_hi, Xi_lo) if Xjp is Xip else _split_bf16(Xjp)
         return (Xi_hi, Xj_hi, Xi_lo, Xj_lo)
+    if decomp == "bf16cast":
+        Xi16 = Xip.astype(jnp.bfloat16)
+        Xj16 = Xi16 if Xjp is Xip else Xjp.astype(jnp.bfloat16)
+        return (Xi16, Xj16)
     return (Xip, Xjp)
 
 
