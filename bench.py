@@ -554,6 +554,9 @@ def main():
         "metric": f"cg_iters_per_s_rbf_{n}x{f}_{mode}_{jax.default_backend()}",
         "value": round(value, 3),
         "unit": "iters/s",
+        # primary comparable when available: the REFERENCE'S OWN binary,
+        # measured live below (vs_reference_binary); vs_baseline keeps the
+        # numpy-proxy for cross-round metric continuity
         "vs_baseline": round(value / baseline, 3),
         "baseline": {
             "iters_per_s": round(baseline, 3),
@@ -570,9 +573,9 @@ def main():
     if ref_binary is not None:
         # the strongest comparable: the reference's own binary, measured
         # live on this host (built by scripts/build_reference_cpu.sh)
-        result["reference_binary"] = ref_binary
         result["vs_reference_binary"] = round(
             value / ref_binary["iters_per_s"], 3)
+        result["reference_binary"] = ref_binary
         ours_cpu = _bench_our_cpu(n, f, gamma)
         if ours_cpu is not None:
             ours_cpu["vs_reference_binary_same_host"] = round(
