@@ -224,9 +224,20 @@ def _sparse_tier_bench(n, f, density):
             lo, hi = 8, 108
             learn_once(lo)  # compile warmup
             learn_once(hi)
-            t_lo_a, svm_lo = learn_once(lo)
-            t_lo_b, _ = learn_once(lo)
-            t_lo = min(t_lo_a, t_lo_b)
+
+            def sample(iters, reps=3):
+                """(min_time, noise, svm): min over reps is robust to the
+                remote-relay's one-sided latency spikes (host pack + ~1 GB
+                device transfer per learn can fluctuate by seconds); noise
+                = gap between the two smallest samples."""
+                times, svm = [], None
+                for _ in range(reps):
+                    t, svm = learn_once(iters)
+                    times.append(t)
+                times.sort()
+                return times[0], times[1] - times[0], svm
+
+            t_lo, n_lo, svm_lo = sample(lo)
             # grow the span until it dwarfs the measured run-to-run noise
             # (VERDICT r4 #6: a span inside the noise floor used to null
             # every tier; the iteration cap is a dynamic argument, so
@@ -234,14 +245,11 @@ def _sparse_tier_bench(n, f, density):
             # the bench's budget
             per_iter, it_lo, it_hi = None, None, None
             while True:
-                t_hi_a, svm = learn_once(hi)
-                t_hi_b, _ = learn_once(hi)
-                t_hi = min(t_hi_a, t_hi_b)
+                t_hi, n_hi, svm = sample(hi)
                 it_lo = int(svm_lo.last_cg_info["iterations"])
                 it_hi = int(svm.last_cg_info["iterations"])
                 span = t_hi - t_lo
-                noise = abs(t_lo_a - t_lo_b) + abs(t_hi_a - t_hi_b)
-                if it_hi > it_lo and span > 2.0 * noise:
+                if it_hi > it_lo and span > 2.0 * (n_lo + n_hi):
                     # marginal cost over EXECUTED iterations (the eps=0 CG
                     # can stop early on an exact-zero f32 residual); the
                     # slope cancels the one-time host pack/transfer/setup
