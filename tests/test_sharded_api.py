@@ -14,7 +14,6 @@ import pytest
 
 from plssvm_sparse_fp22_tpu.cli.predict import main as predict_main
 from plssvm_sparse_fp22_tpu.cli.train import main as train_main
-from plssvm_sparse_fp22_tpu.io.libsvm import parse_libsvm_file
 from plssvm_sparse_fp22_tpu.io.model import parse_model_file
 from plssvm_sparse_fp22_tpu.models import make_csvm
 from plssvm_sparse_fp22_tpu.params import Parameter
