@@ -400,6 +400,11 @@ def _implicit_roofline(D, dept, f, iters_per_s, peak_tflops, tier=None):
     if peak_tflops:
         out["mxu_peak_frac"] = out["hw_tflops"] / peak_tflops
         out["useful_mfu"] = out["useful_tflops"] / peak_tflops
+        if passes < 6:
+            # useful counts one EXACT f32 Gram matvec; the symmetric kernel
+            # computes half the blocks and reuses transposes, so on 1-pass
+            # tiers the exact-equivalent rate can legitimately exceed 1.0
+            out["useful_mfu_is_exact_equivalent"] = True
     out["hbm_gbs"] = hbm_bytes * iters_per_s / 1e9
     return out
 
